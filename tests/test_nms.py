@@ -1,0 +1,90 @@
+"""NMS parity: device NMS (scan + fixpoint) vs the py_cpu_nms oracle
+(ref lib/nms/py_cpu_nms.py:10-38)."""
+
+import numpy as np
+import pytest
+
+from tpudenoise.ops.nms import nms, nms_fixpoint, nms_py
+
+
+def _rand_dets(rng, n, scale=200.0):
+    x1 = rng.uniform(0, scale, n)
+    y1 = rng.uniform(0, scale, n)
+    w = rng.uniform(5, 80, n)
+    h = rng.uniform(5, 80, n)
+    scores = rng.uniform(0, 1, n)
+    return np.stack([x1, y1, x1 + w, y1 + h, scores], axis=1).astype(
+        np.float32)
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2, 3])
+@pytest.mark.parametrize('thresh', [0.3, 0.5, 0.7])
+def test_nms_matches_oracle(seed, thresh):
+    rng = np.random.RandomState(seed)
+    dets = _rand_dets(rng, 200)
+    want = nms_py(dets, thresh)
+    keep, mask = nms(dets[:, :4], dets[:, 4], thresh, max_outputs=200)
+    got = list(np.asarray(keep)[np.asarray(mask)])
+    assert got == want
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+@pytest.mark.parametrize('thresh', [0.3, 0.7])
+def test_nms_fixpoint_matches_oracle(seed, thresh):
+    rng = np.random.RandomState(seed)
+    dets = _rand_dets(rng, 300)
+    want = nms_py(dets, thresh)
+    keep, mask = nms_fixpoint(dets[:, :4], dets[:, 4], thresh,
+                              max_outputs=300)
+    got = list(np.asarray(keep)[np.asarray(mask)])
+    assert got == want
+
+
+def test_nms_truncates_at_max_outputs():
+    rng = np.random.RandomState(0)
+    dets = _rand_dets(rng, 500)
+    want = nms_py(dets, 0.7)[:20]
+    keep, mask = nms(dets[:, :4], dets[:, 4], 0.7, max_outputs=20)
+    got = list(np.asarray(keep)[np.asarray(mask)])
+    assert got == want
+    keep2, mask2 = nms_fixpoint(dets[:, :4], dets[:, 4], 0.7, max_outputs=20)
+    got2 = list(np.asarray(keep2)[np.asarray(mask2)])
+    assert got2 == want
+
+
+def test_nms_respects_valid_mask():
+    rng = np.random.RandomState(1)
+    dets = _rand_dets(rng, 100)
+    valid = rng.uniform(size=100) > 0.5
+    want = nms_py(dets[valid], 0.5)
+    # map back to original indices
+    orig_idx = np.where(valid)[0]
+    want = [int(orig_idx[i]) for i in want]
+    keep, mask = nms(dets[:, :4], dets[:, 4], 0.5, max_outputs=100,
+                     valid=valid)
+    got = list(np.asarray(keep)[np.asarray(mask)])
+    assert got == want
+
+
+def test_nms_chain_not_oversuppressed():
+    """A suppresses B, B would suppress C but B is dead -> C must be kept."""
+    boxes = np.array([
+        [0, 0, 100, 100],     # A (score .9)
+        [0, 0, 80, 100],      # B: IoU(A,B)=0.8 -> suppressed by A
+        [0, 0, 60, 100],      # C: IoU(A,C)=0.6 < .7 kept; IoU(B,C)=0.75
+    ], dtype=np.float32)
+    scores = np.array([0.9, 0.8, 0.7], dtype=np.float32)
+    dets = np.concatenate([boxes, scores[:, None]], axis=1)
+    want = nms_py(dets, 0.7)
+    assert want == [0, 2]
+    for fn in (nms, nms_fixpoint):
+        keep, mask = fn(boxes, scores, 0.7, max_outputs=3)
+        assert list(np.asarray(keep)[np.asarray(mask)]) == [0, 2]
+
+
+def test_nms_empty_valid():
+    boxes = np.zeros((10, 4), dtype=np.float32)
+    scores = np.zeros((10,), dtype=np.float32)
+    keep, mask = nms(boxes, scores, 0.5, max_outputs=5,
+                     valid=np.zeros(10, bool))
+    assert not np.asarray(mask).any()

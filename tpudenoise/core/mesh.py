@@ -1,0 +1,47 @@
+"""Device-mesh plumbing.
+
+The reference is strictly single-process / single-GPU (SURVEY.md §2.3); the
+TPU build scales via a `jax.sharding.Mesh`.  Default: a 1-D `data` axis for
+batch data-parallelism; the helpers below are the single place mesh topology
+is decided so larger meshes (e.g. ('data','model')) slot in without touching
+call sites.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(mesh_shape=None, axis_names=None, devices=None) -> Mesh:
+    """Build a Mesh.  mesh_shape entries of -1 absorb remaining devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = [-1]
+    if axis_names is None:
+        axis_names = ['data'] if len(mesh_shape) == 1 else [
+            f'axis{i}' for i in range(len(mesh_shape))]
+    shape = list(mesh_shape)
+    known = int(np.prod([s for s in shape if s != -1])) or 1
+    shape = [n // known if s == -1 else s for s in shape]
+    assert int(np.prod(shape)) == n, (
+        f'mesh shape {shape} does not cover {n} devices')
+    dev_array = np.array(devices).reshape(shape)
+    return Mesh(dev_array, tuple(axis_names))
+
+
+def data_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over the 'data' axis."""
+    return NamedSharding(mesh, P('data'))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Device_put a pytree of batched arrays with batch-dim sharding."""
+    sh = data_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -1,0 +1,184 @@
+"""Non-maximum suppression on device.
+
+The reference ships three NMS implementations: a pure-python oracle
+(ref: lib/nms/py_cpu_nms.py:10-38), a serial Cython CPU kernel
+(ref: lib/nms/cpu_nms.pyx:17-68) and a CUDA bitmask-tile kernel
+(ref: lib/nms/nms_kernel.cu:34-144).  All are host<->device round-trips.
+
+Here NMS is a fixed-shape XLA program that stays on device:
+
+* `nms` — exact greedy NMS as a `lax.scan` over `max_outputs` selection
+  steps.  Each step picks the highest-scoring live box and suppresses its
+  IoU>thresh neighbours; provably identical to the reference greedy order.
+  Cost: max_outputs sequential steps of O(N) vector work — ideal for the
+  test path (max_outputs=300).
+
+* `nms_fixpoint` — the TPU re-expression of the CUDA bitmask algorithm:
+  iterate `alive[j] = valid[j] & !any_{i<j}(iou[i,j]>t & alive[i])` to its
+  fixpoint.  Converges to the exact greedy solution in O(longest
+  suppression chain) data-parallel sweeps (each one big VPU matrix op),
+  so it wins when max_outputs is large (train path: 2000 of 12000).
+
+Both return indices into the *original* box order (like the reference's
+`keep`), padded with -1, plus a validity mask.
+
+numpy oracle for tests: `nms_py` (bit-identical port of py_cpu_nms).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = jnp.finfo(jnp.float32).min
+
+
+def _iou_one_vs_all(box: jnp.ndarray, boxes: jnp.ndarray,
+                    areas: jnp.ndarray, area_i: jnp.ndarray) -> jnp.ndarray:
+    """IoU of one box vs (N,4) boxes with the +1 convention
+    (matches py_cpu_nms.py:22-31)."""
+    xx1 = jnp.maximum(box[0], boxes[:, 0])
+    yy1 = jnp.maximum(box[1], boxes[:, 1])
+    xx2 = jnp.minimum(box[2], boxes[:, 2])
+    yy2 = jnp.minimum(box[3], boxes[:, 3])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    return inter / (area_i + areas - inter)
+
+
+@functools.partial(jax.jit, static_argnames=('max_outputs',))
+def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
+        max_outputs: int, valid: jnp.ndarray | None = None):
+    """Exact greedy NMS.
+
+    Args:
+      boxes: (N, 4) float (x1, y1, x2, y2).
+      scores: (N,) float.
+      iou_threshold: scalar; boxes with IoU > threshold are suppressed
+        (strict >, matching py_cpu_nms.py:37 `ovr <= thresh` keep rule).
+      max_outputs: static output count.
+      valid: optional (N,) bool mask of live inputs.
+
+    Returns:
+      keep: (max_outputs,) int32 indices into the input order, -1 padded.
+      keep_mask: (max_outputs,) bool.
+    """
+    n = boxes.shape[0]
+    scores = scores.astype(jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+
+    # Descending-score order; ties broken by index like np.argsort(kind=stable)
+    # on negated scores (the reference uses argsort()[::-1], whose tie order
+    # is reversed-index; detection scores are continuous so ties are a
+    # measure-zero event — we prefer the stable ordering).
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order].astype(jnp.float32)
+    sscores = scores[order]
+    areas = ((sboxes[:, 2] - sboxes[:, 0] + 1.0)
+             * (sboxes[:, 3] - sboxes[:, 1] + 1.0))
+    alive0 = sscores > NEG_INF
+
+    def step(alive, _):
+        idx = jnp.argmax(alive)          # first live box in score order
+        any_alive = alive[idx]
+        box = sboxes[idx]
+        iou = _iou_one_vs_all(box, sboxes, areas, areas[idx])
+        suppress = iou > iou_threshold   # includes idx itself (iou = 1)
+        suppress = suppress | (jnp.arange(n) == idx)
+        alive = jnp.where(any_alive, alive & ~suppress, alive)
+        kept = jnp.where(any_alive, idx, -1)
+        return alive, kept
+
+    _, kept_sorted = jax.lax.scan(step, alive0, None, length=max_outputs)
+    keep_mask = kept_sorted >= 0
+    keep = jnp.where(keep_mask, order[jnp.maximum(kept_sorted, 0)], -1)
+    return keep.astype(jnp.int32), keep_mask
+
+
+@functools.partial(jax.jit, static_argnames=('max_outputs', 'max_iters'))
+def nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
+                 max_outputs: int, valid: jnp.ndarray | None = None,
+                 max_iters: int = 64):
+    """Exact greedy NMS via data-parallel fixpoint sweeps.
+
+    alive^{k+1}[j] = valid[j] & !OR_{i<j} (M[i,j] & alive^k[i]) with
+    M[i,j] = IoU(i,j) > t over the score-sorted order.  The iteration
+    reaches the greedy fixpoint in at most the longest suppress-chain
+    length; each sweep is one (N, N) VPU matrix op — the TPU analogue of
+    the 64x64 bitmask tiles in nms_kernel.cu:34-78.
+    """
+    n = boxes.shape[0]
+    scores = scores.astype(jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order].astype(jnp.float32)
+    in_valid = scores[order] > NEG_INF
+
+    x1, y1, x2, y2 = sboxes[:, 0], sboxes[:, 1], sboxes[:, 2], sboxes[:, 3]
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(x1[:, None], x1[None, :])
+    yy1 = jnp.maximum(y1[:, None], y1[None, :])
+    xx2 = jnp.minimum(x2[:, None], x2[None, :])
+    yy2 = jnp.minimum(y2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    iou = inter / (areas[:, None] + areas[None, :] - inter)
+    tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # i<j as [j, i]
+    m = (iou > iou_threshold) & tri.T                   # M[i, j], i < j
+    m = m & in_valid[None, :] & in_valid[:, None]
+
+    def cond(state):
+        k, alive, changed = state
+        return changed & (k < max_iters)
+
+    def body(state):
+        k, alive, _ = state
+        suppressed = jnp.any(m & alive[:, None], axis=0)
+        new_alive = in_valid & ~suppressed
+        return k + 1, new_alive, jnp.any(new_alive != alive)
+
+    _, alive, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), in_valid, jnp.bool_(True)))
+
+    # first max_outputs alive boxes in score order: scatter each kept box's
+    # rank-among-kept into its output slot (OOB ranks dropped)
+    rank = jnp.cumsum(alive) - 1
+    slot = jnp.where(alive, rank, max_outputs)  # dead boxes scatter OOB
+    keep_sorted = jnp.full((max_outputs,), -1, dtype=jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    keep_mask = keep_sorted >= 0
+    keep = jnp.where(keep_mask, order[jnp.maximum(keep_sorted, 0)], -1)
+    return keep.astype(jnp.int32), keep_mask
+
+
+def nms_py(dets: np.ndarray, thresh: float) -> list:
+    """Pure-numpy greedy NMS oracle (mirrors ref lib/nms/py_cpu_nms.py:10-38).
+
+    dets: (N, 5) [x1, y1, x2, y2, score]. Returns kept indices.
+    """
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    scores = dets[:, 4]
+    areas = (x2 - x1 + 1) * (y2 - y1 + 1)
+    order = scores.argsort()[::-1]
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + 1)
+        h = np.maximum(0.0, yy2 - yy1 + 1)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        inds = np.where(ovr <= thresh)[0]
+        order = order[inds + 1]
+    return keep
