@@ -1,0 +1,229 @@
+"""Noise generator semantics tests.
+
+RNGs differ from numpy/scipy, so parity is statistical: distribution
+moments, clipping rules and the uint8 round-trip semantics re-derived from
+skimage.util.random_noise / scipy.stats (SURVEY.md §7 stage 2).
+"""
+
+import jax
+import numpy as np
+import pytest
+import scipy.stats as st
+
+from tpudenoise.noise import generators as G
+from tpudenoise.noise.spec import (Denoise, Kind, parse)
+
+
+KEY = jax.random.PRNGKey(3)
+
+
+@pytest.fixture
+def img_u8():
+    rng = np.random.RandomState(3)
+    return rng.randint(0, 256, (64, 96, 3)).astype(np.float32)
+
+
+# ------------------------------------------------------------- casts ------
+
+def test_wrap_cast_matches_numpy_astype():
+    vals = np.array([-3.2, -0.5, 0.0, 0.9, 255.0, 255.9, 258.7, 512.2,
+                     -257.5, 1000.4], dtype=np.float64)
+    want = vals.astype(np.uint8).astype(np.float32)
+    got = np.asarray(G.wrap_cast_u8(vals.astype(np.float32)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_saturate_matches_cv2_saturate_cast():
+    import cv2
+    a = np.array([[250, 200, 3]], np.uint8)
+    b = np.array([[10, 100, 250]], np.uint8)
+    want = cv2.add(a, b).astype(np.float32)
+    got = np.asarray(G.saturate_u8(a.astype(np.float32)
+                                   + b.astype(np.float32)))
+    np.testing.assert_array_equal(got, want)
+
+
+# --------------------------------------------------------- generators -----
+
+def test_gaussian_moments_and_clip(img_u8):
+    x01 = np.asarray(G.to_unit(img_u8))
+    out = np.asarray(G.gaussian(KEY, x01, var=0.1))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # unclipped region: recompute noise on mid-gray to check sigma
+    mid = np.full_like(x01, 0.5)
+    out_mid = np.asarray(G.gaussian(KEY, mid, var=0.01))
+    assert abs(out_mid.std() - 0.1) < 0.005
+    assert abs(out_mid.mean() - 0.5) < 0.005
+
+
+def test_poisson_vals_from_unique_count(img_u8):
+    x01 = G.to_unit(img_u8)
+    out = np.asarray(G.poisson(KEY, x01, img_u8))
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # skimage semantics: vals = 2**ceil(log2(unique)); 256 unique -> 256;
+    # Poisson(x*256)/256 has std sqrt(x/256) ~ 0.044 at x=0.5
+    mid_u8 = np.full((64, 96, 3), 128.0, np.float32)
+    out_mid = np.asarray(G.poisson(KEY, G.to_unit(mid_u8), mid_u8))
+    # only ONE unique value -> vals = 1 -> Poisson(0.502)/1: integers!
+    assert set(np.unique(out_mid)).issubset({0.0, 1.0})
+    # realistic image: many unique values
+    lam_scale = 256.0
+    expect_std = np.sqrt(0.5 / lam_scale)
+    mid2 = np.tile(np.arange(256, dtype=np.float32), 72).reshape(64, 96, 3)
+    out2 = np.asarray(G.poisson(KEY, G.to_unit(mid2), mid2))
+    sel = (mid2 == 128.0)
+    assert abs(out2[sel].std() - expect_std) < 0.01
+
+
+def test_sap_fractions(img_u8):
+    x01 = G.to_unit(img_u8)
+    amount = 0.4
+    out = np.asarray(G.salt_and_pepper(KEY, x01, amount))
+    x = np.asarray(x01)
+    flipped = out != x
+    assert abs(flipped.mean() - amount * (1 - (x01.size and 0))) < 0.02
+    ones = (out == 1.0) & flipped
+    zeros = (out == 0.0) & flipped
+    assert abs(ones.sum() / flipped.sum() - 0.5) < 0.03
+    assert np.all(ones | zeros | ~flipped)
+
+
+def test_speckle_variance_scales_with_signal(img_u8):
+    x01 = np.full((64, 96, 3), 0.5, np.float32)
+    out = np.asarray(G.speckle(KEY, x01, var=0.04))
+    # x + x*n: std = 0.5 * 0.2 = 0.1
+    assert abs(out.std() - 0.1) < 0.01
+
+
+def test_uniform_no_clip(img_u8):
+    x01 = G.to_unit(img_u8)
+    out = np.asarray(G.uniform_add(KEY, x01, high=1.2))
+    assert out.max() > 1.0  # cv2.add on float does not saturate
+    d = out - np.asarray(x01)
+    assert d.min() >= 0.0 and d.max() <= 1.2
+    assert abs(d.mean() - 0.6) < 0.02
+
+
+def test_gamma_moments(img_u8):
+    x01 = np.zeros((64, 96, 3), np.float32)
+    scale, a = 0.1, 1.99
+    out = np.asarray(G.gamma_add(KEY, x01, scale, a))
+    m, v = st.gamma.stats(a, scale=scale, moments='mv')
+    assert abs(out.mean() - m) < 0.01
+    assert abs(out.var() - v) < 0.01
+
+
+def test_rayleigh_moments(img_u8):
+    x01 = np.zeros((64, 96, 3), np.float32)
+    scale = 0.2
+    out = np.asarray(G.rayleigh_add(KEY, x01, scale))
+    m, v = st.rayleigh.stats(scale=scale, moments='mv')
+    assert abs(out.mean() - m) < 0.01
+    assert abs(out.var() - v) < 0.005
+
+
+def test_brownian_matches_numpy_reference(img_u8):
+    """Structure check vs the reference's recipe on a tiny image: B wraps to
+    pseudo-random u8 texture; output is saturating add (test.py:905-1126)."""
+    out = np.asarray(G.brownian(KEY, img_u8, dt=0.9))
+    assert out.min() >= 0 and out.max() <= 255
+    assert np.all(out >= img_u8)  # noise is non-negative u8 added
+
+
+def test_periodic_matches_numpy_reference(img_u8):
+    h, w, _ = img_u8.shape
+    n = img_u8.size
+    t = np.linspace(-np.pi, np.pi, n)
+    noise_ref = (np.sin(t) * 255).astype(np.uint8).reshape(h, w, 3)
+    import cv2
+    want = cv2.add(img_u8.astype(np.uint8), noise_ref).astype(np.float32)
+    got = np.asarray(G.periodic(KEY, img_u8, 3.14159265358979))
+    # f32 sin vs f64 oracle: a handful of pixels sit exactly on a
+    # truncation boundary — allow <=1 step on <0.1% of pixels
+    diff = np.abs(got - want)
+    assert diff.max() <= 1.0
+    assert (diff > 0).mean() < 1e-3
+
+
+def test_shader(img_u8):
+    out = np.asarray(G.shader(img_u8))
+    import cv2
+    want = cv2.add(cv2.add(img_u8.astype(np.uint8), img_u8.astype(np.uint8)),
+                   img_u8.astype(np.uint8)).astype(np.float32)[..., ::-1]
+    np.testing.assert_array_equal(out, want)
+
+
+def test_bloom_runs_and_brightens():
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 100, (128, 128, 3)).astype(np.float32)
+    out = np.asarray(G.bloom(KEY, img))
+    assert out.shape == img.shape
+    assert out.min() >= 0 and out.max() <= 255
+    # flare source at (100,100) must brighten that region
+    assert out[95:105, 95:105].mean() > img[95:105, 95:105].mean() + 50
+
+
+def test_quant_palette_size():
+    from tpudenoise.noise.kmeans import quantize_colors
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 256, (48, 64, 3)).astype(np.float32)
+    out = np.asarray(quantize_colors(KEY, img, k=3))
+    # after LAB->BGR roundtrip the palette stays tiny (<= k distinct colors)
+    colors = np.unique(out.reshape(-1, 3), axis=0)
+    assert len(colors) <= 3
+
+
+# ------------------------------------------------------------- parser -----
+
+def test_parse_single():
+    p = parse('speckle_median_var1.0')
+    assert len(p.specs) == 1
+    s = p.specs[0]
+    assert s.kind == Kind.SPECKLE and s.level == 1.0
+    assert s.denoise == Denoise.MEDIAN
+    # train-pipeline default double-applies the filter as post-pass
+    assert p.post_denoise == Denoise.MEDIAN
+
+
+def test_parse_gaussian_randomized_level():
+    p = parse('gaussian_var0.1')
+    assert p.specs[0].is_random_level
+    assert p.specs[0].unit_float_output
+    p2 = parse('gaussian_gaus_blur_var0.1')
+    assert not p2.specs[0].unit_float_output
+    assert p2.specs[0].denoise == Denoise.GAUS_BLUR
+
+
+def test_parse_strict_test_quirks():
+    p = parse('sap_var0.4', mode='TEST', strict_ref=True)
+    assert p.specs[0].kind == Kind.ORIGINAL  # test.py:1691-1697
+    p = parse('quant_var7', mode='TEST', strict_ref=True)
+    assert p.specs[0].kind == Kind.ORIGINAL
+    p = parse('sap_var0.4', mode='TRAIN', strict_ref=True)
+    assert p.specs[0].kind == Kind.SAP and p.specs[0].level == 0.4
+
+
+def test_parse_mix():
+    p = parse('noise_mix_var_low', mode='TEST')
+    assert len(p.specs) == 13
+    kinds = {s.kind for s in p.specs}
+    assert Kind.QUANT in kinds and Kind.BLOOM in kinds
+    # train mix maps bloom -> shader (minibatch.py:1572-1573)
+    pt = parse('noise_mix_var_low', mode='TRAIN')
+    assert Kind.BLOOM not in {s.kind for s in pt.specs}
+
+
+def test_parse_unknown_fallback():
+    p = parse('totally_new_noise')
+    s = p.specs[0]
+    assert s.kind == Kind.GAUSSIAN and s.level == 0.1
+    assert s.denoise == Denoise.MEAN  # test.py:1757-1768
+
+
+def test_parse_levels():
+    assert parse('brownian_var0.09').specs[0].level == 0.09
+    assert parse('brownian_var0.009').specs[0].level == 0.009
+    assert parse('periodic_varsize').specs[0].level == -1.0
+    assert parse('quant_var10').specs[0].level == 10
+    assert parse('uniform_bilateral_var1.2').specs[0].denoise == \
+        Denoise.BILATERAL

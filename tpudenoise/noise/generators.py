@@ -1,0 +1,211 @@
+"""The nine stochastic noise generators + bloom/shader, as pure jax.random
+functions over float32 images.
+
+The reference synthesizes noise per image on the host with
+skimage.util.random_noise / scipy.stats samplers / numpy, with load-bearing
+dtype round-trips (ref: lib/model/test.py:193-1607,
+lib/roi_data_layer/minibatch.py:77-1634).  Here every generator is a pure
+function of (key, image) that vmaps over a batch and fuses into one XLA
+program — the reference's #1 hot loop (SURVEY.md §3.1) eliminated.
+
+Conventions:
+  * `img_u8`: float32 array holding integer values in [0, 255] (a uint8
+    image lifted to float so the whole pipeline stays in one dtype).
+  * `x01`: float32 in [0, 1] (= img_as_float semantics, u8/255).
+  * uint8 cast semantics are explicit:
+      - `wrap_cast_u8`: numpy `.astype(np.uint8)` = trunc toward zero then
+        wrap mod 256 (load-bearing for brownian/periodic/uniform overflow).
+      - `saturate_u8`: OpenCV saturate_cast<uchar> = round-half-even, clamp.
+  * random_noise semantics re-derived from skimage.util.random_noise
+    (documented algorithm; skimage is not a dependency): convert to [0,1]
+    float, add noise, clip to [0,1] for gaussian/poisson/s&p/speckle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------- casts ---
+
+def wrap_cast_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """numpy float -> uint8 cast: truncate toward zero, wrap mod 256."""
+    t = jnp.trunc(x)
+    return jnp.mod(t, 256.0)
+
+
+def saturate_u8(x: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV saturate_cast<uchar>: round half-to-even then clamp."""
+    return jnp.clip(jnp.round(x), 0.0, 255.0)
+
+
+def to_unit(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """img_as_float for uint8 input: /255."""
+    return img_u8 * (1.0 / 255.0)
+
+
+# ----------------------------------------------------------- generators ---
+
+def gaussian(key, x01: jnp.ndarray, var: float) -> jnp.ndarray:
+    """skimage random_noise(mode='gaussian', var): x + N(0, var), clip [0,1]."""
+    noise = jax.random.normal(key, x01.shape, x01.dtype) * jnp.sqrt(
+        jnp.asarray(var, x01.dtype))
+    return jnp.clip(x01 + noise, 0.0, 1.0)
+
+
+def poisson(key, x01: jnp.ndarray, img_u8: jnp.ndarray) -> jnp.ndarray:
+    """skimage random_noise(mode='poisson'):
+    vals = 2**ceil(log2(len(unique(image)))); out = Poisson(x*vals)/vals,
+    clipped.  For uint8-origin images unique(x01) == unique(u8), computed
+    exactly on device via a 256-bin histogram (no data-dependent shapes)."""
+    hist = jnp.zeros((256,), jnp.int32).at[
+        img_u8.astype(jnp.int32).reshape(-1)].add(1)
+    n_unique = jnp.sum(hist > 0)
+    vals = 2.0 ** jnp.ceil(jnp.log2(n_unique.astype(jnp.float32)))
+    lam = x01 * vals
+    out = jax.random.poisson(key, lam, x01.shape).astype(x01.dtype) / vals
+    return jnp.clip(out, 0.0, 1.0)
+
+
+def salt_and_pepper(key, x01: jnp.ndarray, amount: float,
+                    salt_vs_pepper: float = 0.5) -> jnp.ndarray:
+    """skimage random_noise(mode='s&p'): flip `amount` fraction of elements
+    to 1 (salt, p=salt_vs_pepper) or 0 (pepper), elementwise iid."""
+    k1, k2 = jax.random.split(key)
+    flipped = jax.random.uniform(k1, x01.shape) < amount
+    salted = jax.random.uniform(k2, x01.shape) < salt_vs_pepper
+    out = jnp.where(flipped & salted, 1.0, x01)
+    out = jnp.where(flipped & ~salted, 0.0, out)
+    return out
+
+
+def speckle(key, x01: jnp.ndarray, var: float) -> jnp.ndarray:
+    """skimage random_noise(mode='speckle', var): x + x*N(0,var), clip."""
+    noise = jax.random.normal(key, x01.shape, x01.dtype) * jnp.sqrt(
+        jnp.asarray(var, x01.dtype))
+    return jnp.clip(x01 + x01 * noise, 0.0, 1.0)
+
+
+def uniform_add(key, x01: jnp.ndarray, high: float) -> jnp.ndarray:
+    """U(0, high) added to the float image — NO clip (cv2.add on float64
+    does not saturate; ref test.py:771-903)."""
+    return x01 + jax.random.uniform(key, x01.shape, x01.dtype, 0.0, high)
+
+
+def gamma_add(key, x01: jnp.ndarray, scale: float,
+              a: float = 1.99) -> jnp.ndarray:
+    """scipy.stats.gamma.rvs(a=1.99, scale) added, no clip
+    (ref test.py:1300-1437)."""
+    g = jax.random.gamma(key, a, x01.shape, x01.dtype) * scale
+    return x01 + g
+
+
+def rayleigh_add(key, x01: jnp.ndarray, scale: float) -> jnp.ndarray:
+    """scipy.stats.rayleigh.rvs(scale) added, no clip (ref test.py:1439-1572).
+    Rayleigh via inverse CDF: scale * sqrt(-2 ln U)."""
+    u = jax.random.uniform(key, x01.shape, x01.dtype,
+                           jnp.finfo(x01.dtype).tiny, 1.0)
+    r = scale * jnp.sqrt(-2.0 * jnp.log(u))
+    return x01 + r
+
+
+def brownian(key, img_u8: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Brownian path over all pixels: B = cumsum(sqrt(dt)*N(0,1)) reshaped to
+    (H, W, 3); noise_u8 = wrap_cast(B*255); out = cv2.add(img, noise) which
+    saturates (ref test.py:905-1126).  The cumsum runs over H*W*3 elements in
+    raster order — an associative scan XLA parallelizes."""
+    n = img_u8.size
+    db = jax.random.normal(key, (n,), jnp.float32) * math.sqrt(dt)
+    b = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(db[:-1])])
+    noise_u8 = wrap_cast_u8(b * 255.0).reshape(img_u8.shape)
+    return saturate_u8(img_u8 + noise_u8)
+
+
+def periodic(key, img_u8: jnp.ndarray, amplitude: float) -> jnp.ndarray:
+    """sin over linspace(-A, A, size) scaled by 255, wrap-cast to uint8,
+    saturating add (ref test.py:1128-1298).  amplitude < 0 means A = size
+    (the 'varsize' level).  Deterministic given the image shape — `key` is
+    accepted for signature uniformity."""
+    del key
+    n = img_u8.size
+    a = jnp.where(amplitude < 0, jnp.float32(n), jnp.float32(amplitude))
+    # np.linspace(-A, A, n): step = 2A/(n-1)
+    t = -a + jnp.arange(n, dtype=jnp.float32) * (2.0 * a / (n - 1))
+    noise_u8 = wrap_cast_u8(jnp.sin(t) * 255.0).reshape(img_u8.shape)
+    return saturate_u8(img_u8 + noise_u8)
+
+
+def shader(img_u8: jnp.ndarray, factor: float = 3.0) -> jnp.ndarray:
+    """PIL ImageEnhance.Brightness(factor=3) (ref test.py:1595-1601).
+    PIL loads RGB while the pipeline is BGR (cv2) — the reference therefore
+    feeds a channel-swapped image downstream; reproduced via the flip."""
+    bright = saturate_u8(img_u8 * factor)
+    return bright[..., ::-1]
+
+
+def bloom(key, img_u8: jnp.ndarray) -> jnp.ndarray:
+    """Automold add_sun_flare(flare_center=(100,100), angle=-pi/4)
+    (ref tools/Automold.py:588-627, used at test.py:1590-1594).
+
+    Geometry: 8 random flare circles centered on the mirrored flare line
+    y = 2*fc_y - (tan(angle)*(x - fc_x) + fc_y), radius r^3 with
+    r ~ U{1, H//100 - 2}, near-white color, alpha ~ U(0.05, 0.2); then the
+    flare source: H//10... 40 concentric circles radius linspace(1, 400)
+    blended with cubic alpha.  Rendered analytically: each circle is a
+    full-image distance mask — pure VPU work, sequential compositing via
+    lax.scan to match cv2's overlay accumulation."""
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    fc_x, fc_y = 100.0, 100.0
+    angle = (-math.pi / 4) % (2 * math.pi)
+    n_circ = 8
+    src_radius = 400
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    # flare line sampled every 10 px in x (Automold.py:565-573)
+    n_line = (w + 9) // 10
+    line_x = jnp.arange(n_line, dtype=jnp.float32) * 10.0
+    line_y = 2.0 * fc_y - (math.tan(angle) * (line_x - fc_x) + fc_y)
+
+    keys = jax.random.split(key, n_circ)
+    rad_hi = max(h // 100 - 2, 1)
+
+    def draw_circle(carry, k):
+        overlay, output = carry
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        alpha = jax.random.uniform(k1, (), minval=0.05, maxval=0.2)
+        r_idx = jax.random.randint(k2, (), 0, n_line)
+        rad = jax.random.randint(k3, (), 1, rad_hi + 1).astype(jnp.float32)
+        color = jax.random.randint(k4, (3,), 205, 256).astype(jnp.float32)
+        cx = jnp.floor(line_x[r_idx])
+        cy = jnp.floor(line_y[r_idx])
+        mask = ((xx - cx) ** 2 + (yy - cy) ** 2) <= (rad ** 3) ** 2
+        overlay = jnp.where(mask[..., None], color, overlay)
+        output = saturate_u8(alpha * overlay + (1.0 - alpha) * output)
+        return (overlay, output), None
+
+    (overlay, output), _ = jax.lax.scan(
+        draw_circle, (img_u8.astype(jnp.float32), img_u8.astype(jnp.float32)),
+        keys)
+
+    # flare source: concentric white circles with cubic alpha
+    # (Automold.py:553-563)
+    num_times = src_radius // 10
+    alphas = jnp.linspace(0.0, 1.0, num_times)
+    rads = jnp.linspace(1.0, float(src_radius), num_times)
+    d2 = (xx - fc_x) ** 2 + (yy - fc_y) ** 2
+
+    def draw_src(carry, i):
+        overlay, output = carry
+        mask = d2 <= rads[i] ** 2
+        overlay = jnp.where(mask[..., None], 255.0, overlay)
+        alp = alphas[num_times - i - 1] ** 3
+        output = saturate_u8(alp * overlay + (1.0 - alp) * output)
+        return (overlay, output), None
+
+    (_, output), _ = jax.lax.scan(draw_src, (overlay, output),
+                                  jnp.arange(num_times))
+    return output

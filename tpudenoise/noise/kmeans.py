@@ -1,0 +1,87 @@
+"""On-device K-Means color quantization ("quant" noise).
+
+The reference quantizes the LAB-space palette with sklearn MiniBatchKMeans
+(k in {3, 7, 10}) per image on the host (ref: lib/model/test.py:592-765) —
+the single most expensive host op in its pipeline.  Here: k-means++ style
+init + full-batch Lloyd iterations, entirely on device.  The assignment
+step is an (N, k) distance matrix = one MXU matmul; exact-RNG parity with
+sklearn is impossible (different PRNG), so parity is statistical: same k,
+same space (LAB), convergence to a (better) local optimum.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpudenoise.ops.color import bgr_u8_to_lab_u8, lab_u8_to_bgr_u8
+
+
+@functools.partial(jax.jit, static_argnames=('k', 'iters'))
+def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25):
+    """Lloyd's k-means with k-means++ init.
+
+    points: (N, D) float32.  Returns (centers (k, D), labels (N,)).
+    """
+    n = points.shape[0]
+
+    # --- k-means++ init: sequential over k (k <= 10), each step one
+    # (N,) distance reduction ---
+    key, sub = jax.random.split(key)
+    first = points[jax.random.randint(sub, (), 0, n)]
+    centers0 = jnp.zeros((k, points.shape[1]), points.dtype).at[0].set(first)
+    d2_0 = jnp.sum((points - first) ** 2, axis=-1)
+
+    def init_step(carry, i):
+        centers, d2, key = carry
+        key, sub = jax.random.split(key)
+        # sample proportionally to d2 via Gumbel-max on log d2
+        logits = jnp.log(jnp.maximum(d2, 1e-12))
+        g = jax.random.gumbel(sub, (n,))
+        idx = jnp.argmax(logits + g)
+        c = points[idx]
+        centers = centers.at[i].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((points - c) ** 2, axis=-1))
+        return (centers, d2, key), None
+
+    (centers, _, key), _ = jax.lax.scan(
+        init_step, (centers0, d2_0, key), jnp.arange(1, k))
+
+    # --- Lloyd iterations: assignment via matmul (MXU), update via
+    # segment-sum ---
+    x2 = jnp.sum(points ** 2, axis=-1, keepdims=True)  # (N, 1)
+
+    def lloyd(centers, _):
+        c2 = jnp.sum(centers ** 2, axis=-1)            # (k,)
+        # ||x - c||^2 = x2 - 2 x.c + c2
+        d = x2 - 2.0 * points @ centers.T + c2[None, :]
+        labels = jnp.argmin(d, axis=-1)
+        onehot = jax.nn.one_hot(labels, k, dtype=points.dtype)  # (N, k)
+        counts = onehot.sum(axis=0)                    # (k,)
+        sums = onehot.T @ points                       # (k, D) — MXU
+        new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+        # keep empty clusters where they were
+        new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+        return new_centers, None
+
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=iters)
+    c2 = jnp.sum(centers ** 2, axis=-1)
+    d = x2 - 2.0 * points @ centers.T + c2[None, :]
+    labels = jnp.argmin(d, axis=-1)
+    return centers, labels
+
+
+def quantize_colors(key, img_u8: jnp.ndarray, k: int,
+                    iters: int = 25) -> jnp.ndarray:
+    """The 'quant' noise: BGR->LAB, k-means palette, truncate centers to u8,
+    palette-map every pixel, LAB->BGR (ref test.py:594-765: centers cast via
+    .astype('uint8') — truncation, preserved)."""
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    lab = bgr_u8_to_lab_u8(img_u8)
+    pts = lab.reshape(-1, 3)
+    centers, labels = kmeans(key, pts, k=k, iters=iters)
+    centers_u8 = jnp.trunc(jnp.clip(centers, 0.0, 255.0))
+    quant = centers_u8[labels].reshape(h, w, 3)
+    return lab_u8_to_bgr_u8(quant)
