@@ -1,0 +1,98 @@
+"""Fused noise->denoise pipeline tests: end-to-end plan execution,
+mix switching, domain quirks."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpudenoise.noise.pipeline import make_pipeline
+
+KEY = jax.random.PRNGKey(3)
+
+
+@pytest.fixture
+def batch():
+    rng = np.random.RandomState(3)
+    return rng.randint(0, 256, (2, 64, 96, 3)).astype(np.float32)
+
+
+@pytest.mark.parametrize('noise', [
+    'gaussian_gaus_blur_var0.1',
+    'sap_median_var0.4',
+    'speckle_wavelet_var1.0',
+    'uniform_bilateral_var0.6',
+    'poisson_mean',
+    'brownian_var0.09',
+    'periodic_median_var100',
+    'rayleigh_var0.2',
+    'original',
+])
+def test_pipeline_runs_u8_domain(noise, batch):
+    fn = make_pipeline(noise)
+    out = np.asarray(fn(KEY, batch))
+    assert out.shape == batch.shape
+    assert out.min() >= 0.0 and out.max() <= 255.0
+    assert np.all(out == np.round(out))  # integer-valued u8 domain
+
+
+def test_gaussian_plain_unit_float_quirk(batch):
+    """gaussian with no denoise emits the float [0,1] image
+    (ref test.py:290-305)."""
+    fn = make_pipeline('gaussian_var0.1')
+    out = np.asarray(fn(KEY, batch))
+    assert out.max() <= 1.0
+
+
+def test_quant_pipeline(batch):
+    fn = make_pipeline('quant_var3', mode='TRAIN')
+    out = np.asarray(fn(KEY, batch))
+    for b in range(2):
+        colors = np.unique(out[b].reshape(-1, 3), axis=0)
+        assert len(colors) <= 3
+
+
+def test_strict_test_quant_is_original(batch):
+    fn = make_pipeline('quant_var3', mode='TEST', strict_ref=True)
+    out = np.asarray(fn(KEY, batch))
+    np.testing.assert_array_equal(out, batch)
+
+
+def test_mix_selects_different_kinds(batch):
+    big = np.tile(batch, (8, 1, 1, 1))  # 16 images
+    fn = make_pipeline('noise_mix_var_medium')
+    out = np.asarray(fn(KEY, big))
+    assert out.shape == big.shape
+    # different images got different treatments (16 draws over 13 kinds)
+    diffs = [np.abs(out[i] - big[i]).mean() for i in range(16)]
+    assert len({round(d, 2) for d in diffs}) > 4
+
+
+def test_mix_is_deterministic_given_key(batch):
+    fn = make_pipeline('noise_mix_var_low')
+    a = np.asarray(fn(KEY, batch))
+    b = np.asarray(fn(KEY, batch))
+    np.testing.assert_array_equal(a, b)
+    c = np.asarray(fn(jax.random.PRNGKey(4), batch))
+    assert np.abs(a - c).mean() > 0
+
+
+def test_double_filter_train_semantics(batch):
+    """Default (train-pipeline) semantics double-apply the filter: generator
+    variant + standalone post-pass (minibatch.py:1636-1663)."""
+    from tpudenoise.denoise.stencils import mean3
+    from tpudenoise.noise.pipeline import apply_spec
+    from tpudenoise.noise.spec import parse
+    plan = parse('sap_mean_var0.4')
+    fn = make_pipeline(plan)
+    out = np.asarray(fn(KEY, batch))
+    # manually: spec apply (noise+mean) then post mean
+    keys = jax.random.split(KEY, 2)
+    manual0 = mean3(apply_spec(plan.specs[0], keys[0], batch[0]))
+    np.testing.assert_array_equal(out[0], np.asarray(manual0))
+
+
+def test_curvelet_plan(batch):
+    fn = make_pipeline('curvelet')
+    out = np.asarray(fn(KEY, batch))
+    assert out.shape == batch.shape
+    assert out.min() >= 0 and out.max() <= 255

@@ -1,0 +1,93 @@
+"""Wavelet denoiser: perfect-reconstruction of the bior1.5 bank, subband
+behavior, and end-to-end denoising quality."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpudenoise.denoise import wavelet as W
+
+
+def test_filter_bank_dc_gain():
+    # lowpass analysis DC gain = sqrt(2); highpass kills DC
+    assert abs(W.DEC_LO.sum() - np.sqrt(2)) < 1e-6
+    assert abs(W.DEC_HI.sum()) < 1e-7
+    assert abs(W.REC_LO.sum() - np.sqrt(2)) < 1e-6
+    assert abs(W.REC_HI.sum()) < 1e-7
+
+
+@pytest.mark.parametrize('n', [64, 100, 37, 128])
+def test_dwt_1d_perfect_reconstruction(n):
+    rng = np.random.RandomState(0)
+    x = rng.randn(3, n).astype(np.float32)
+    lo, hi = W._analysis_1d(x, axis=1)
+    assert lo.shape[1] == (n + W._L - 1) // 2  # pywt length convention
+    y = np.asarray(W._synthesis_1d(lo, hi, n, axis=1))
+    np.testing.assert_allclose(y, x, atol=2e-5)
+
+
+@pytest.mark.parametrize('shape', [(64, 96), (101, 67)])
+def test_dwt2_perfect_reconstruction(shape):
+    rng = np.random.RandomState(1)
+    x = rng.randn(*shape).astype(np.float32)
+    aa, d = W.dwt2(x)
+    y = np.asarray(W.idwt2(aa, d, shape))
+    np.testing.assert_allclose(y, x, atol=2e-5)
+
+
+def test_wavedec2_multilevel_roundtrip():
+    rng = np.random.RandomState(2)
+    x = rng.randn(96, 160).astype(np.float32)
+    a, coeffs, shapes = W.wavedec2(x, levels=3)
+    y = np.asarray(W.waverec2(a, coeffs, shapes))
+    np.testing.assert_allclose(y, x, atol=5e-5)
+
+
+def test_constant_image_lands_in_approx():
+    x = np.full((64, 64), 0.7, np.float32)
+    aa, (ad, da, dd) = W.dwt2(x)
+    # interior approx = 0.7 * 2 (sqrt2 per axis); details ~ 0
+    assert abs(np.asarray(aa)[8:-8, 8:-8].mean() - 1.4) < 1e-4
+    assert np.abs(np.asarray(dd)).max() < 1e-5
+
+
+def test_default_levels_matches_skimage_rule():
+    # 600x1000, dec_len 10: dwt_max_level = 6 each -> 6-3 = 3
+    assert W.default_levels(600, 1000) == 3
+    assert W.default_levels(64, 64) == 1   # max(2-3,1)
+
+
+def test_denoise_improves_psnr():
+    rng = np.random.RandomState(3)
+    # piecewise-smooth image + gaussian noise
+    clean = np.zeros((128, 128, 3), np.float32)
+    clean[:, :64] = 0.3
+    clean[40:90, 30:100] = 0.8
+    yy, xx = np.mgrid[0:128, 0:128]
+    clean[..., 2] = 0.5 + 0.3 * np.sin(xx / 20.0)
+    noisy = np.clip(clean + rng.randn(128, 128, 3) * 0.15, 0, 1
+                    ).astype(np.float32)
+    out = np.asarray(W.denoise_wavelet(noisy))
+
+    def psnr(a, b):
+        mse = np.mean((a - b) ** 2)
+        return 10 * np.log10(1.0 / mse)
+
+    p_noisy = psnr(noisy, clean)
+    p_out = psnr(np.clip(out, 0, 1), clean)
+    assert p_out > p_noisy + 2.0  # meaningful denoising
+
+
+def test_denoise_identity_on_clean_image():
+    x = np.tile(np.linspace(0.2, 0.8, 64, dtype=np.float32)[None, :, None],
+                (64, 1, 3))
+    out = np.asarray(W.denoise_wavelet(x))
+    # noise-free smooth image: sigma ~ 0 -> nearly unchanged
+    assert np.abs(out - x).max() < 0.02
+
+
+def test_denoise_batch_vmap():
+    rng = np.random.RandomState(4)
+    batch = rng.rand(2, 64, 96, 3).astype(np.float32)
+    out = jax.vmap(lambda im: W.denoise_wavelet(im, levels=2))(batch)
+    assert out.shape == batch.shape

@@ -1,0 +1,158 @@
+"""Fused noise -> denoise pipeline: one jitted XLA program per parsed plan.
+
+Replaces the reference's per-image host loop (cv2/skimage/sklearn calls per
+image, ref lib/model/test.py:189-1831 and lib/roi_data_layer/minibatch.py:
+77-1688) — the #1 hot path identified in SURVEY.md §3.1.  The full batch
+runs on device: generator, denoise variant, standalone post-pass, with mix
+mode as a `lax.switch` over per-image random choices (all branches compiled
+once, selected per image at runtime — the XLA analogue of
+random.choice(noise_list)).
+
+Domain bookkeeping mirrors the reference's dtype round-trips exactly:
+  * most variants produce uint8-domain float32 (values 0..255),
+  * gaussian-with-no-denoise emits the float [0,1] image (quirk,
+    test.py:290-305) — `NoiseSpec.unit_float_output`,
+  * which array feeds the wavelet differs per kind (float image for
+    gaussian/sap/speckle/uniform/gamma/rayleigh, uint8 for the rest).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpudenoise.denoise.stencils import (bilateral, gaussian_blur3, mean3,
+                                         median3)
+from tpudenoise.denoise.wavelet import denoise_wavelet
+from tpudenoise.noise import generators as G
+from tpudenoise.noise.kmeans import quantize_colors
+from tpudenoise.noise.spec import (Denoise, GAUSSIAN_RANDOM_LEVELS, Kind,
+                                   NoisePlan, NoiseSpec, parse)
+
+_FILTERS = {
+    Denoise.GAUS_BLUR: lambda im, r: gaussian_blur3(im, round_u8=r),
+    Denoise.MEAN: lambda im, r: mean3(im, round_u8=r),
+    Denoise.MEDIAN: lambda im, r: median3(im),
+    Denoise.BILATERAL: lambda im, r: bilateral(im) if r else bilateral(im),
+}
+
+
+def _apply_wavelet_from_float(imgf: jnp.ndarray) -> jnp.ndarray:
+    """denoise_wavelet on a float image then (255*out).astype(u8) wrap
+    (ref test.py:197-201)."""
+    w = denoise_wavelet(imgf)
+    return G.wrap_cast_u8(255.0 * w)
+
+
+def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray):
+    """Run the generator, returning the float-domain noisy image plus how
+    to get the u8-domain version (some kinds are natively u8)."""
+    x01 = G.to_unit(img_u8)
+    k = spec.kind
+    if k == Kind.GAUSSIAN:
+        if spec.is_random_level:
+            kl, kn = jax.random.split(key)
+            idx = jax.random.randint(kl, (), 0, len(GAUSSIAN_RANDOM_LEVELS))
+            var = jnp.asarray(GAUSSIAN_RANDOM_LEVELS)[idx]
+        else:
+            kn, var = key, spec.level
+        return G.gaussian(kn, x01, var), 'unit'
+    if k == Kind.POISSON:
+        return G.poisson(key, x01, img_u8), 'unit'
+    if k == Kind.SAP:
+        return G.salt_and_pepper(key, x01, spec.level), 'unit'
+    if k == Kind.SPECKLE:
+        return G.speckle(key, x01, spec.level), 'unit'
+    if k == Kind.UNIFORM:
+        return G.uniform_add(key, x01, spec.level), 'unit'
+    if k == Kind.GAMMA:
+        return G.gamma_add(key, x01, spec.level), 'unit'
+    if k == Kind.RAYLEIGH:
+        return G.rayleigh_add(key, x01, spec.level), 'unit'
+    if k == Kind.BROWNIAN:
+        return G.brownian(key, img_u8, spec.level), 'u8'
+    if k == Kind.PERIODIC:
+        return G.periodic(key, img_u8, spec.level), 'u8'
+    if k == Kind.QUANT:
+        return quantize_colors(key, img_u8, int(spec.level)), 'u8'
+    if k == Kind.BLOOM:
+        return G.bloom(key, img_u8), 'u8'
+    if k == Kind.SHADER:
+        return G.shader(img_u8), 'u8'
+    return img_u8, 'u8'  # ORIGINAL
+
+
+# kinds whose `_wavelet` variant feeds the float image into the wavelet
+# (the rest cast to uint8 first — see module docstring)
+_WAVELET_ON_FLOAT = {Kind.GAUSSIAN, Kind.SAP, Kind.SPECKLE, Kind.UNIFORM,
+                     Kind.GAMMA, Kind.RAYLEIGH}
+
+
+def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray) -> jnp.ndarray:
+    """One (kind, level, denoise) combination on one image.
+
+    Returns float32 in the domain the reference would feed downstream:
+    u8-domain values except the gaussian-plain quirk (unit floats).
+    """
+    noisy, dom = _noisy_float(spec, key, img_u8)
+    if dom == 'unit':
+        u8 = G.wrap_cast_u8(255.0 * noisy)
+    else:
+        u8 = noisy
+    d = spec.denoise
+    if d == Denoise.NONE:
+        if spec.unit_float_output and spec.kind == Kind.GAUSSIAN:
+            return noisy  # float [0,1] quirk
+        return u8
+    if d == Denoise.WAVELET:
+        src = noisy if spec.kind in _WAVELET_ON_FLOAT else G.to_unit(u8)
+        return _apply_wavelet_from_float(src)
+    return _FILTERS[d](u8, True)
+
+
+def apply_post(denoise: Denoise, img: jnp.ndarray,
+               unit_float: bool) -> jnp.ndarray:
+    """Standalone denoise post-pass on the full noise string
+    (ref minibatch.py:1636-1663; test path: wavelet only,
+    test.py:1787-1819)."""
+    if denoise == Denoise.NONE:
+        return img
+    if denoise == Denoise.WAVELET:
+        src = img if unit_float else G.to_unit(img)
+        return _apply_wavelet_from_float(src)
+    if denoise == Denoise.CURVELET:
+        from tpudenoise.denoise.curvelet import curvelet_denoise_u8
+        return curvelet_denoise_u8(img)
+    # cv2 filters round only for u8 inputs; the float (gaussian-plain)
+    # path filters without rounding
+    return _FILTERS[denoise](img, not unit_float)
+
+
+def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
+                  strict_ref: bool = False):
+    """Build `fn(key, images) -> images` for a parsed plan (or raw noise
+    string).  images: (B, H, W, 3) float32 u8-domain BGR.  The returned fn
+    is jitted and vmapped over the batch; per-image PRNG via fold_in."""
+    if isinstance(plan, str):
+        plan = parse(plan, mode=mode, strict_ref=strict_ref)
+    specs = plan.specs
+    unit_float = all(s.unit_float_output for s in specs)
+
+    def one_image(key, img):
+        if len(specs) == 1:
+            out = apply_spec(specs[0], key, img)
+        else:
+            kc, ka = jax.random.split(key)
+            idx = jax.random.randint(kc, (), 0, len(specs))
+            branches = [functools.partial(apply_spec, s) for s in specs]
+            out = jax.lax.switch(idx, branches, ka, img)
+        return apply_post(plan.post_denoise, out, unit_float)
+
+    @jax.jit
+    def run(key, images):
+        keys = jax.random.split(key, images.shape[0])
+        return jax.vmap(one_image)(keys, images)
+
+    return run

@@ -1,0 +1,95 @@
+"""RoI crop-and-resize pooling on device.
+
+Reimplements tf.image.crop_and_resize bilinear semantics exactly
+(ref: lib/nets/network.py:143-159 `_crop_pool_layer`, resnet variant
+lib/nets/resnet_v1.py:60-81): boxes are normalized (y1, x1, y2, x2) over
+the (H-1, W-1) extent, sample grid index i in [0, crop-1] maps to
+y1*(H-1) + i*(y2-y1)*(H-1)/(crop-1), bilinear with extrapolation value 0
+outside the image.
+
+Implemented as a 4-corner gather over the flattened feature map — a single
+XLA gather per corner, static shapes, no host round-trip (the reference
+routes this through tf.image.crop_and_resize on a [1,H,W,C] tensor).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=('crop_size',))
+def crop_and_resize(feat: jnp.ndarray, boxes: jnp.ndarray,
+                    crop_size: int) -> jnp.ndarray:
+    """feat: (H, W, C); boxes: (R, 4) normalized (y1, x1, y2, x2).
+    Returns (R, crop_size, crop_size, C)."""
+    h, w, c = feat.shape
+    r = boxes.shape[0]
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+
+    if crop_size > 1:
+        hs = (y2 - y1) * (h - 1) / (crop_size - 1)
+        ws = (x2 - x1) * (w - 1) / (crop_size - 1)
+        grid = jnp.arange(crop_size, dtype=feat.dtype)
+        in_y = y1[:, None] * (h - 1) + grid[None, :] * hs[:, None]  # (R, S)
+        in_x = x1[:, None] * (w - 1) + grid[None, :] * ws[:, None]
+    else:
+        in_y = (0.5 * (y1 + y2) * (h - 1))[:, None]
+        in_x = (0.5 * (x1 + x2) * (w - 1))[:, None]
+
+    # bilinear corners with out-of-range -> 0 extrapolation
+    def sample(in_y, in_x):
+        valid_y = (in_y >= 0) & (in_y <= h - 1)            # (R, S)
+        valid_x = (in_x >= 0) & (in_x <= w - 1)
+        y0 = jnp.floor(in_y)
+        x0 = jnp.floor(in_x)
+        ly = in_y - y0
+        lx = in_x - x0
+        y0 = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+        x0 = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+        y1i = jnp.clip(y0 + 1, 0, h - 1)
+        x1i = jnp.clip(x0 + 1, 0, w - 1)
+
+        flat = feat.reshape(h * w, c)
+
+        def g(yi, xi):  # (R,Sy),(R,Sx) -> (R,Sy,Sx,C)
+            idx = yi[:, :, None] * w + xi[:, None, :]
+            return jnp.take(flat, idx.reshape(-1), axis=0).reshape(
+                r, yi.shape[1], xi.shape[1], c)
+
+        top_left = g(y0, x0)
+        top_right = g(y0, x1i)
+        bot_left = g(y1i, x0)
+        bot_right = g(y1i, x1i)
+        ly_ = ly[:, :, None, None]
+        lx_ = lx[:, None, :, None]
+        top = top_left + (top_right - top_left) * lx_
+        bot = bot_left + (bot_right - bot_left) * lx_
+        out = top + (bot - top) * ly_
+        mask = (valid_y[:, :, None] & valid_x[:, None, :])[..., None]
+        return jnp.where(mask, out, 0.0)
+
+    return sample(in_y, in_x)
+
+
+def max_pool_2x2_same(x: jnp.ndarray) -> jnp.ndarray:
+    """slim.max_pool2d([2,2], padding='SAME') over (R, H, W, C)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1), 'SAME')
+
+
+def roi_boxes_to_normalized(rois: jnp.ndarray, feat_hw, feat_stride: float
+                            ) -> jnp.ndarray:
+    """Convert image-space rois (R, 4) (x1, y1, x2, y2) to the normalized
+    (y1, x1, y2, x2) boxes of _crop_pool_layer (ref network.py:146-155):
+    divide by (feat_dim - 1) * stride."""
+    fh, fw = feat_hw
+    height = (fh - 1.0) * feat_stride
+    width = (fw - 1.0) * feat_stride
+    x1 = rois[:, 0] / width
+    y1 = rois[:, 1] / height
+    x2 = rois[:, 2] / width
+    y2 = rois[:, 3] / height
+    return jnp.stack([y1, x1, y2, x2], axis=1)
