@@ -1,0 +1,148 @@
+"""Evaluation harness: the test_net pipeline (ref lib/model/test.py:166-2226)
+rebuilt around the on-device model.
+
+Per image: noise+denoise synthesis (device, fused plan) -> im_detect
+(jitted forward) -> per-class score threshold + NMS(0.3) + top-100 cap
+(all device) -> accumulate -> detections.pkl -> imdb.evaluate_detections.
+
+The reference's per-image host noise lab and Cython/CUDA NMS round-trips
+are gone; the host only decodes JPEGs and collects results.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudenoise.core.config import cfg as default_cfg, get_output_dir
+from tpudenoise.models.faster_rcnn import pad_to_bucket
+from tpudenoise.noise.pipeline import make_pipeline
+from tpudenoise.ops.boxes import bbox_transform_inv, clip_boxes_lower_only
+from tpudenoise.ops.nms import NEG_INF, nms_fixpoint
+from tpudenoise.utils.timer import Timer
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('num_classes', 'max_per_class'))
+def postprocess_detections(rois, roi_mask, cls_prob, bbox_pred, im_info,
+                           num_classes: int, nms_thresh,
+                           score_thresh, max_per_class: int = 100):
+    """Decode class boxes, per-class NMS, fixed-size padded output.
+
+    Mirrors the test loop (ref test.py:111-133 im_detect bbox decode +
+    :1852-1897 per-class NMS and thresholds).  rois are in network-input
+    coordinates; boxes are rescaled to original-image coordinates by
+    1/im_info[2].
+    Returns per class: boxes (C, M, 4), scores (C, M), mask (C, M).
+    """
+    scale = im_info[2]
+    boxes = rois / scale                                   # (R, 4)
+    pred = bbox_transform_inv(boxes, bbox_pred)            # (R, 4C)
+    orig_hw = (jnp.round(im_info[0] / scale),
+               jnp.round(im_info[1] / scale))
+    pred = clip_boxes_lower_only(pred, orig_hw)
+    r = rois.shape[0]
+    pred = pred.reshape(r, num_classes, 4)
+
+    def per_class(c):
+        s = cls_prob[:, c]
+        valid = roi_mask & (s > score_thresh)
+        b = pred[:, c, :]
+        keep, kmask = nms_fixpoint(b, s, nms_thresh,
+                                   max_outputs=max_per_class, valid=valid)
+        safe = jnp.maximum(keep, 0)
+        return (jnp.where(kmask[:, None], b[safe], 0.0),
+                jnp.where(kmask, s[safe], NEG_INF), kmask)
+
+    outs = [per_class(c) for c in range(1, num_classes)]
+    boxes_c = jnp.stack([o[0] for o in outs])
+    scores_c = jnp.stack([o[1] for o in outs])
+    mask_c = jnp.stack([o[2] for o in outs])
+    return boxes_c, scores_c, mask_c
+
+
+def limit_per_image(boxes_c, scores_c, mask_c, max_per_image: int):
+    """Global top max_per_image across classes (ref test.py:1890-1897),
+    on host over the small padded arrays."""
+    scores = np.where(mask_c, scores_c, -np.inf).ravel()
+    if (scores > -np.inf).sum() > max_per_image:
+        thresh = np.sort(scores[scores > -np.inf])[-max_per_image]
+        mask_c = mask_c & (scores_c >= thresh)
+    return mask_c
+
+
+def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
+             max_per_image: int = 100, thresh: float = 0.0,
+             config=None, bucket=(608, 1024), strict_ref: bool = False,
+             target_size=None, max_size=None):
+    """Full dataset evaluation (ref test.py:166-2226)."""
+    import cv2
+    C = config or default_cfg
+    np.random.seed(C.RNG_SEED)
+    num_images = imdb_obj.num_images
+    num_classes = imdb_obj.num_classes
+    all_boxes = [[[] for _ in range(num_images)]
+                 for _ in range(num_classes)]
+    output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
+
+    noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
+    key = jax.random.PRNGKey(C.RNG_SEED)
+    timers = {'im_detect': Timer(), 'misc': Timer()}
+    t_size = target_size or C.TEST.SCALES[0]
+    m_size = max_size or C.TEST.MAX_SIZE
+
+    for i in range(num_images):
+        im = cv2.imread(imdb_obj.image_path_at(i))
+        timers['im_detect'].tic()
+        # fused device noise->denoise on the original image
+        noisy = noise_fn(jax.random.fold_in(key, i),
+                         jnp.asarray(im.astype(np.float32))[None])
+        noisy = np.asarray(noisy[0])
+        if noisy.max() <= 1.0 + 1e-6:
+            # gaussian-plain quirk: float [0,1] image flows into the
+            # mean-subtract prep as-is (ref test.py:290-305)
+            pass
+        # prep: mean subtract + min/max-side rescale (test.py:49-83)
+        imf = noisy - np.asarray(C.PIXEL_MEANS, np.float32)
+        h, w = imf.shape[:2]
+        scale = float(t_size) / min(h, w)
+        if np.round(scale * max(h, w)) > m_size:
+            scale = float(m_size) / max(h, w)
+        imf = cv2.resize(imf, None, None, fx=scale, fy=scale,
+                         interpolation=cv2.INTER_LINEAR)
+        padded, (ph, pw) = pad_to_bucket(imf, bucket)
+        im_info = jnp.asarray([ph, pw, scale], jnp.float32)
+        out = model.forward_test(params, jnp.asarray(padded), im_info)
+        boxes_c, scores_c, mask_c = postprocess_detections(
+            out['rois'], out['roi_mask'], out['cls_prob'],
+            out['bbox_pred'], im_info, num_classes,
+            C.TEST.NMS, thresh, max_per_class=max_per_image)
+        timers['im_detect'].toc()
+
+        timers['misc'].tic()
+        bx = np.asarray(boxes_c)
+        sc = np.asarray(scores_c)
+        mk = np.asarray(mask_c)
+        mk = limit_per_image(bx, sc, mk, max_per_image)
+        for j in range(1, num_classes):
+            sel = mk[j - 1]
+            dets = np.hstack([bx[j - 1][sel],
+                              sc[j - 1][sel][:, None]]).astype(np.float32)
+            all_boxes[j][i] = dets
+        timers['misc'].toc()
+        if (i + 1) % 20 == 0 or i == num_images - 1:
+            print(f'im_detect: {i + 1:d}/{num_images:d} '
+                  f'{timers["im_detect"].average_time:.3f}s '
+                  f'{timers["misc"].average_time:.3f}s')
+
+    det_file = os.path.join(output_dir, 'detections.pkl')
+    with open(det_file, 'wb') as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+    print(f'Evaluating detections (artifacts in {output_dir})')
+    return imdb_obj.evaluate_detections(all_boxes, output_dir)

@@ -1,0 +1,240 @@
+"""Training solver: the SolverWrapper loop rebuilt (ref lib/model/
+train_val.py:32-455, train_net entry :498-516).
+
+Differences by design:
+  * the per-iteration host noise pipeline (minibatch.py) moves on device —
+    the loader yields raw resized batches and the jitted step applies the
+    parsed NoisePlan, then mean-subtraction, then the model;
+  * snapshots are orbax checkpoints carrying params, optimizer state, PRNG
+    key and loader cursors (the reference pickles numpy RNG state + data
+    cursors next to the TF ckpt, train_val.py:50-108) — exact resume;
+  * snapshot pruning keeps SNAPSHOT_KEPT latest (train_val.py:232-251);
+  * stepwise LR lives inside the optimizer schedule (no manual sess.run
+    assign, train_val.py:293-301).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import os.path as osp
+import pickle
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpudenoise.core.config import cfg as default_cfg
+from tpudenoise.data.loader import RoiDataLoader
+from tpudenoise.noise.pipeline import make_pipeline
+from tpudenoise.noise.spec import parse as parse_noise
+from tpudenoise.train.train_step import TrainState, make_train_step
+from tpudenoise.utils.logging import MetricsLogger
+from tpudenoise.utils.timer import Timer
+
+
+class Solver:
+    def __init__(self, model, imdb_obj, roidb, valroidb, output_dir,
+                 tb_dir, noise: str = 'original', config=None,
+                 batch_size: int = 1, bucket=(608, 1024),
+                 max_gt: int = 100):
+        self.model = model
+        self.imdb = imdb_obj
+        self.roidb = roidb
+        self.valroidb = valroidb
+        self.output_dir = output_dir
+        self.cfg = config or default_cfg
+        self.noise = noise
+        self.bucket = tuple(bucket)
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        os.makedirs(output_dir, exist_ok=True)
+        self.logger = MetricsLogger(logdir=tb_dir)
+
+        # fused on-device noise for the TRAIN pipeline semantics
+        self._noise_fn = make_pipeline(
+            parse_noise(noise, mode='TRAIN'), mode='TRAIN')
+        self._init_state_fn, self._step_fn = make_train_step(
+            model, self.cfg)
+
+    # ---------------------------------------------------- snapshots ----
+
+    def _snapshot_path(self, iter_: int) -> str:
+        prefix = self.cfg.TRAIN.SNAPSHOT_PREFIX
+        return osp.join(self.output_dir, f'{prefix}_iter_{iter_}')
+
+    def snapshot(self, state: TrainState, key, loader, val_loader,
+                 iter_: int):
+        import orbax.checkpoint as ocp
+        path = self._snapshot_path(iter_)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(osp.abspath(path) + '.orbax',
+                   {'params': state.params, 'opt_state': state.opt_state,
+                    'step': state.step,
+                    'key': jax.random.key_data(key)}, force=True)
+        ckptr.wait_until_finished()
+        # loader cursors + numpy RNG, exactly resumable
+        # (ref train_val.py:62-83)
+        with open(path + '.pkl', 'wb') as f:
+            pickle.dump({'train_cursor': loader.get_state(),
+                         'val_cursor': val_loader.get_state(),
+                         'iter': iter_}, f)
+        print(f'Wrote snapshot to {path}')
+        return path
+
+    def remove_old_snapshots(self):
+        kept = self.cfg.TRAIN.SNAPSHOT_KEPT
+        pkls = sorted(glob.glob(osp.join(
+            self.output_dir, f'{self.cfg.TRAIN.SNAPSHOT_PREFIX}'
+                             f'_iter_*.pkl')),
+            key=lambda p: int(p.rsplit('_', 1)[1].split('.')[0]))
+        import shutil
+        for p in pkls[:-kept] if kept > 0 else []:
+            base = p[:-4]
+            os.remove(p)
+            if osp.isdir(base + '.orbax'):
+                shutil.rmtree(base + '.orbax')
+
+    def find_previous(self):
+        """Newest resumable snapshot iter (ref train_val.py:166-186)."""
+        pkls = glob.glob(osp.join(
+            self.output_dir,
+            f'{self.cfg.TRAIN.SNAPSHOT_PREFIX}_iter_*.pkl'))
+        iters = sorted(int(p.rsplit('_', 1)[1].split('.')[0])
+                       for p in pkls)
+        return iters[-1] if iters else 0
+
+    def restore(self, state: TrainState, loader, val_loader, iter_: int):
+        import orbax.checkpoint as ocp
+        path = self._snapshot_path(iter_)
+        ckptr = ocp.StandardCheckpointer()
+        tpl = {'params': state.params, 'opt_state': state.opt_state,
+               'step': state.step,
+               'key': jax.random.key_data(jax.random.PRNGKey(0))}
+        restored = ckptr.restore(osp.abspath(path) + '.orbax', tpl)
+        with open(path + '.pkl', 'rb') as f:
+            side = pickle.load(f)
+        loader.set_state(side['train_cursor'])
+        val_loader.set_state(side['val_cursor'])
+        # coerce restored leaves back onto the live pytree structure and
+        # dtypes.  The np.asarray hop is load-bearing: orbax-restored
+        # jax.Arrays carry a device/buffer layout that poisons the jit
+        # dispatch cache (2nd step after restore dies with "supplied N
+        # buffers but compiled program expected M"); a host round-trip
+        # yields standard uncommitted arrays.
+        coerce = lambda tpl_leaf, got: jnp.asarray(np.asarray(got),
+                                                   tpl_leaf.dtype)
+        new_state = TrainState(
+            jax.tree_util.tree_map(coerce, state.params,
+                                   restored['params']),
+            jax.tree_util.tree_map(coerce, state.opt_state,
+                                   restored['opt_state']),
+            jnp.asarray(restored['step'], jnp.int32))
+        key = jax.random.wrap_key_data(jnp.asarray(restored['key']))
+        return new_state, key, side['iter']
+
+    # --------------------------------------------------------- train ----
+
+    def _prep_batch(self, key, batch):
+        """Device noise + mean subtraction on the raw loader batch."""
+        imgs = jnp.asarray(batch['image'])
+        noisy = self._noise_fn(key, imgs)
+        means = jnp.asarray(np.asarray(self.cfg.PIXEL_MEANS, np.float32))
+        batch = dict(batch)
+        batch['image'] = noisy - means
+        batch['im_info'] = jnp.asarray(batch['im_info'])
+        batch['gt_boxes'] = jnp.asarray(batch['gt_boxes'])
+        batch['gt_mask'] = jnp.asarray(batch['gt_mask'])
+        return batch
+
+    def train_model(self, max_iters: int, resume: bool = True):
+        C = self.cfg
+        loader = RoiDataLoader(self.roidb, self.imdb.num_classes, C,
+                               batch_size=self.batch_size,
+                               bucket=self.bucket, max_gt=self.max_gt)
+        val_loader = RoiDataLoader(self.valroidb, self.imdb.num_classes,
+                                   C, random_seed=int(time.time()) % 2**31,
+                                   batch_size=self.batch_size,
+                                   bucket=self.bucket, max_gt=self.max_gt)
+        key = jax.random.PRNGKey(C.RNG_SEED)
+        state = self._init_state_fn(key, self.bucket)
+        start = 0
+        if resume:
+            last = self.find_previous()
+            if last > 0:
+                print(f'Restoring from iteration {last}')
+                state, key, start = self.restore(state, loader,
+                                                 val_loader, last)
+
+        timer = Timer()
+        last_summary = time.time()
+        for it in range(start + 1, max_iters + 1):
+            timer.tic()
+            key, k_noise, k_step = jax.random.split(key, 3)
+            batch = self._prep_batch(k_noise, loader.forward())
+            state, losses = self._step_fn(state, k_step, batch)
+            timer.toc()
+
+            if it % C.TRAIN.DISPLAY == 0:
+                vals = {k: float(v) for k, v in losses.items()}
+                self.logger.log(vals, step=it)
+                print(f'iter: {it} / {max_iters}, '
+                      f'total loss: {vals["total_loss"]:.6f} '
+                      f'({timer.average_time:.3f}s/iter)')
+            if (time.time() - last_summary > C.TRAIN.SUMMARY_INTERVAL
+                    and self.valroidb):
+                key, k_vn, k_vs = jax.random.split(key, 3)
+                vbatch = self._prep_batch(k_vn, val_loader.forward())
+                _, vlosses = self._step_fn(state, k_vs, vbatch)
+                self.logger.log({'val_' + k: float(v)
+                                 for k, v in vlosses.items()}, step=it)
+                last_summary = time.time()
+            if it % C.TRAIN.SNAPSHOT_ITERS == 0:
+                self.snapshot(state, key, loader, val_loader, it)
+                self.remove_old_snapshots()
+
+        if max_iters % C.TRAIN.SNAPSHOT_ITERS != 0:
+            self.snapshot(state, key, loader, val_loader, max_iters)
+        return state
+
+
+def train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
+              pretrained_params=None, max_iters: int = 40000,
+              noise: str = 'original', config=None, batch_size: int = 1,
+              bucket=(608, 1024)):
+    """Entry point (ref train_val.py:498-516)."""
+    from tpudenoise.data.roidb import filter_roidb
+    roidb = filter_roidb(roidb, config)
+    valroidb = filter_roidb(valroidb, config) if valroidb else []
+    solver = Solver(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
+                    noise=noise, config=config, batch_size=batch_size,
+                    bucket=bucket)
+    if pretrained_params is not None:
+        base = solver._init_state_fn(
+            jax.random.PRNGKey((config or default_cfg).RNG_SEED), bucket)
+        merged = _merge_pretrained(base.params, pretrained_params)
+        solver._pretrained = merged  # stash for train_model initial state
+
+        orig_init = solver._init_state_fn
+
+        def init_with_pretrained(key, image_shape):
+            st = orig_init(key, image_shape)
+            return TrainState(merged, st.opt_state, st.step)
+
+        solver._init_state_fn = init_with_pretrained
+    print('Solving...')
+    state = solver.train_model(max_iters)
+    print('done solving')
+    return state
+
+
+def _merge_pretrained(params, pretrained):
+    """Overlay pretrained leaves onto the init tree where paths match."""
+    flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    pre = dict(jax.tree_util.tree_flatten_with_path(pretrained)[0])
+    merged = {k: pre.get(k, v) for k, v in flat.items()}
+    treedef = jax.tree_util.tree_structure(params)
+    return jax.tree_util.tree_unflatten(
+        treedef, [merged[k] for k, _ in
+                  jax.tree_util.tree_flatten_with_path(params)[0]])

