@@ -21,9 +21,13 @@ def parse_args(argv=None):
 
 
 def apply_nms_all(all_boxes, thresh):
-    """ref lib/model/test.py:135-163 apply_nms."""
+    """ref lib/model/test.py:135-163 apply_nms; native C++ host NMS when
+    available (cfg.USE_NATIVE_NMS), numpy oracle otherwise."""
     import numpy as np
+    from tpudenoise.core.config import cfg
+    from tpudenoise.ops.native import nms_host
     from tpudenoise.ops.nms import nms_py
+    nms_fn = nms_host if cfg.USE_NATIVE_NMS else nms_py
     out = [[[] for _ in r] for r in all_boxes]
     for c, per_image in enumerate(all_boxes):
         for i, dets in enumerate(per_image):
@@ -34,7 +38,7 @@ def apply_nms_all(all_boxes, thresh):
             dets = dets[ok]
             if dets.size == 0:
                 continue
-            keep = nms_py(dets, thresh)
+            keep = nms_fn(dets, thresh)
             out[c][i] = dets[keep].copy()
     return out
 
