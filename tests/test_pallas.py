@@ -1,0 +1,109 @@
+"""Pallas fused kernel: correctness vs the reference XLA path.
+
+Runs in interpret mode on CPU (the compiled path is exercised on real TPU
+by bench.py); median/border behavior must be bit-exact given the same
+noisy image, and the s&p statistics must match the Bernoulli law.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from tpudenoise.denoise.stencils import median3
+from tpudenoise.noise.pallas_kernels import fused_sap_median
+
+
+@pytest.fixture
+def imgs():
+    rng = np.random.RandomState(3)
+    return rng.randint(0, 256, (2, 48, 64, 3)).astype(np.float32)
+
+
+def _run(images, seeds, amount=0.4, double=True, tile_h=16):
+    return np.asarray(fused_sap_median(
+        images, np.asarray(seeds, np.int32), amount, double,
+        tile_h=tile_h, interpret=True))
+
+
+def _reference_noisy(images, seeds, amount):
+    """The hash-noise image computed in numpy (same hash math), for
+    bit-exact median comparison."""
+    def hash2d(iy, ix, seed):
+        h = (iy.astype(np.uint32) * np.uint32(0x9E3779B9)
+             ^ ix.astype(np.uint32) * np.uint32(0x85EBCA6B)
+             ^ np.uint32(seed & 0xFFFFFFFF) * np.uint32(0xC2B2AE35))
+        h ^= h >> np.uint32(16)
+        h = (h * np.uint32(0x7FEB352D)) & np.uint32(0xFFFFFFFF)
+        h ^= h >> np.uint32(15)
+        h = (h * np.uint32(0x846CA68B)) & np.uint32(0xFFFFFFFF)
+        h ^= h >> np.uint32(16)
+        return h
+
+    b, h, w, _ = images.shape
+    w3 = w * 3
+    iy = np.tile(np.arange(h, dtype=np.int64)[:, None], (1, w3))
+    ix = np.tile(np.arange(w3, dtype=np.int64)[None, :], (h, 1))
+    out = []
+    old = np.seterr(over='ignore')
+    for i in range(b):
+        flat = images[i].reshape(h, w3).copy()
+        bf = hash2d(iy, ix, int(seeds[i]))
+        thresh = np.uint32(int(amount * 4294967296.0))
+        # single hash: high bits drive the flip decision, bit 0 the
+        # salt-vs-pepper coin (mirrors the kernel)
+        flipped = bf < thresh
+        salted = (bf & np.uint32(1)) == 1
+        flat[flipped & salted] = 255.0
+        flat[flipped & ~salted] = 0.0
+        out.append(flat.reshape(h, w, 3))
+    np.seterr(**old)
+    return np.stack(out)
+
+
+def test_fused_matches_median_of_hash_noise(imgs):
+    seeds = np.array([7, 42])
+    got = _run(imgs, seeds, amount=0.4, double=True)
+    noisy = _reference_noisy(imgs, seeds, 0.4)
+    want = np.asarray(jax.vmap(lambda im: median3(median3(im)))(noisy))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_fused_single_filter(imgs):
+    seeds = np.array([7, 42])
+    got = _run(imgs, seeds, amount=0.2, double=False)
+    noisy = _reference_noisy(imgs, seeds, 0.2)
+    want = np.asarray(jax.vmap(median3)(noisy))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_hash_noise_statistics():
+    imgs = np.full((1, 64, 96, 3), 128.0, np.float32)
+    noisy = _reference_noisy(imgs, [123], 0.4)
+    flipped = noisy != 128.0
+    assert abs(flipped.mean() - 0.4) < 0.02
+    ones = (noisy == 255.0).sum()
+    zeros = (noisy == 0.0).sum()
+    assert abs(ones / (ones + zeros) - 0.5) < 0.02
+    # independence across seeds
+    noisy2 = _reference_noisy(imgs, [124], 0.4)
+    agree = ((noisy == 255) & (noisy2 == 255)).mean()
+    assert abs(agree - 0.04) < 0.01  # 0.2 * 0.2
+
+
+def test_tile_partition_invariance(imgs):
+    """Different tile heights must give identical output (halo noise
+    consistency via the coordinate-stable hash)."""
+    seeds = np.array([5, 6])
+    a = _run(imgs, seeds, tile_h=16)
+    b = _run(imgs, seeds, tile_h=48)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_non_divisible_height():
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (1, 50, 40, 3)).astype(np.float32)
+    seeds = np.array([9])
+    got = _run(imgs, seeds, tile_h=16)
+    noisy = _reference_noisy(imgs, seeds, 0.4)
+    want = np.asarray(jax.vmap(lambda im: median3(median3(im)))(noisy))
+    np.testing.assert_array_equal(got, want)

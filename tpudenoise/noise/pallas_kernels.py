@@ -1,0 +1,191 @@
+"""Pallas TPU kernels for the hot fused noise+denoise paths.
+
+The XLA pipeline materializes a full-image temporary per stage (noise
+masks, each median, casts) — ~6 HBM round-trips for sap+median^2.  The
+fused kernel here does ONE read + ONE write per image: salt&pepper noise is
+generated in-register from a coordinate-stable counter hash (so tile halos
+see identical noise regardless of the grid partition), and both 3x3 medians
+run on VMEM tiles with a 4-row halo DMA'd from HBM (overlapping windows via
+manual async copy — BlockSpecs can't express overlap; window height is kept
+a multiple of the f32 sublane tiling (8) for the DMA slicer).
+
+This is the TPU re-expression of the reference's hottest per-image path
+(s&p synthesis + cv2.medianBlur, ref lib/roi_data_layer/minibatch.py /
+lib/model/test.py) and the headline bench config (BASELINE.json config 2).
+
+Semantics vs the XLA pipeline: median/border behavior bit-exact
+(BORDER_REPLICATE incl. replicating the *noisy* border rows — hash
+coordinates are clamped to the image extent — and, for the second median,
+the *filtered* border rows, as cv2 re-pads between calls); the RNG stream
+differs (counter hash vs threefry) with the same Bernoulli(amount) x
+Bernoulli(1/2) law — statistical parity tested in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+HALO = 4  # rows each side; window = tile_h + 2*HALO is 8-aligned
+
+
+def _hash2d(iy: jnp.ndarray, ix: jnp.ndarray, seed: jnp.ndarray
+            ) -> jnp.ndarray:
+    """Coordinate-stable uint32 hash (splitmix-style avalanche)."""
+    h = (iy.astype(jnp.uint32) * jnp.uint32(0x9E3779B9)
+         ^ ix.astype(jnp.uint32) * jnp.uint32(0x85EBCA6B)
+         ^ seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _median9(v: list) -> jnp.ndarray:
+    """Median of 9 equal-shaped arrays via the 19-exchange network."""
+    v = list(v)
+
+    def cas(i, j):
+        lo = jnp.minimum(v[i], v[j])
+        hi = jnp.maximum(v[i], v[j])
+        v[i], v[j] = lo, hi
+
+    for (i, j) in [(1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7),
+                   (1, 2), (4, 5), (7, 8), (0, 3), (5, 8), (4, 7),
+                   (3, 6), (1, 4), (2, 5), (4, 7), (4, 2), (6, 4),
+                   (4, 2)]:
+        cas(i, j)
+    return v[4]
+
+
+def _median3_tile(t: jnp.ndarray, w3: int) -> jnp.ndarray:
+    """3x3 median over a tile with one halo row each side:
+    (R+2, W3p) -> (R, W3p).  x-neighbors are +/-3 lane rolls with
+    BORDER_REPLICATE fixes at the true image edges."""
+    rows, w3p = t.shape
+    out_rows = rows - 2
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (out_rows, w3p), 1)
+    vals = []
+    for dy in range(3):
+        band = t[dy:dy + out_rows]
+        left = pltpu.roll(band, shift=3, axis=1)
+        left = jnp.where(lanes < 3, band, left)
+        # negative shifts are rejected; circular roll by (len - 3) == -3
+        right = pltpu.roll(band, shift=w3p - 3, axis=1)
+        right = jnp.where(lanes >= w3 - 3, band, right)
+        vals.extend([left, band, right])
+    return _median9(vals)
+
+
+def _fused_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
+                  tile_h: int, h: int, w3: int, amount: float,
+                  double_filter: bool):
+    """One grid step: DMA a (tile_h + 2*HALO)-row overlapping window,
+    apply in-register s&p, one or two 3x3 medians, write tile_h rows."""
+    i = pl.program_id(0)
+    win = tile_h + 2 * HALO
+    dma = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * tile_h, win), :], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    tile = scratch[:]
+    rows, w3p = tile.shape
+    # absolute image coordinates, clamped so edge-replicated halo rows and
+    # the x padding draw the SAME noise as the pixel they replicate
+    iy = (i * tile_h - HALO
+          + jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 0))
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 1)
+    ix = jnp.minimum(ix, w3 - 1)
+
+    seed = seed_ref[0]
+    bits = _hash2d(iy, ix, seed)
+    thresh = (jnp.uint32(int(amount * 4294967296.0)) if amount < 1.0
+              else jnp.uint32(0xFFFFFFFF))
+    # one hash per pixel: the comparison consumes the high bits; bit 0 is
+    # an independent fair coin for salt-vs-pepper
+    flipped = bits < thresh
+    salted = (bits & jnp.uint32(1)) == jnp.uint32(1)
+    noisy = jnp.where(flipped & salted, 255.0, tile)
+    noisy = jnp.where(flipped & ~salted, 0.0, noisy)
+
+    m1 = _median3_tile(noisy, w3)        # rows: win - 2
+    if double_filter:
+        # cv2 re-pads the FILTERED image before the second medianBlur:
+        # m1 rows at virtual image rows -1 / h must replicate the
+        # filtered rows 0 / h-1
+        rows1 = m1.shape[0]
+        vr = (i * tile_h - (HALO - 1)
+              + jax.lax.broadcasted_iota(jnp.int32, (rows1, w3p), 0))
+        up = pltpu.roll(m1, shift=rows1 - 1, axis=0)    # row r <- r+1
+        down = pltpu.roll(m1, shift=1, axis=0)          # row r <- r-1
+        m1 = jnp.where(vr == -1, up, m1)
+        m1 = jnp.where(vr == h, down, m1)
+        m2 = _median3_tile(m1, w3)       # rows: win - 4
+        out_ref[:] = m2[HALO - 2:HALO - 2 + tile_h]
+    else:
+        out_ref[:] = m1[HALO - 1:HALO - 1 + tile_h]
+
+
+def _build_call(kernel, n_tiles: int, tile_h: int, hp: int, w3p: int,
+                interpret: bool):
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((tile_h, w3p), lambda i, s: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((tile_h + 2 * HALO, w3p), jnp.float32),
+                pltpu.SemaphoreType.DMA],
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, w3p), jnp.float32),
+        interpret=interpret,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=('amount', 'double_filter',
+                                             'tile_h', 'interpret'))
+def fused_sap_median(images: jnp.ndarray, seeds: jnp.ndarray,
+                     amount: float = 0.4, double_filter: bool = True,
+                     tile_h: int = 40, interpret: bool = False
+                     ) -> jnp.ndarray:
+    """Fused s&p noise + median3 (x2) over a batch in one HBM pass.
+
+    images: (B, H, W, 3) float32 u8-domain; seeds: (B,) int32 (one RNG
+    stream per image).  double_filter=True matches the pipeline's TRAIN
+    semantics for 'sap_median_varX' (generator median + standalone
+    post-pass median, ref minibatch.py:1636-1663).  tile_h must be a
+    multiple of 8 (f32 sublane tiling).
+    """
+    assert tile_h % 8 == 0
+    b, h, w, _ = images.shape
+    w3 = w * 3
+    w3p = ((w3 + LANES - 1) // LANES) * LANES
+    n_tiles = (h + tile_h - 1) // tile_h
+    hp = n_tiles * tile_h
+
+    flat = images.reshape(b, h, w3)
+    # HALO edge-replicated rows top/bottom + pad to whole tiles
+    flat = jnp.pad(flat, ((0, 0), (HALO, hp - h + HALO), (0, w3p - w3)),
+                   mode='edge')
+
+    kernel = functools.partial(_fused_kernel, tile_h=tile_h, h=h, w3=w3,
+                               amount=amount, double_filter=double_filter)
+    call = _build_call(kernel, n_tiles, tile_h, hp, w3p, interpret)
+
+    def one(img2d, seed):
+        return call(jnp.asarray([seed], jnp.int32), img2d)
+
+    out = jax.vmap(one)(flat, seeds.astype(jnp.int32))
+    return out[:, :h, :w3].reshape(b, h, w, 3)

@@ -131,13 +131,35 @@ def apply_post(denoise: Denoise, img: jnp.ndarray,
 
 
 def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
-                  strict_ref: bool = False):
+                  strict_ref: bool = False, use_pallas: bool = False):
     """Build `fn(key, images) -> images` for a parsed plan (or raw noise
     string).  images: (B, H, W, 3) float32 u8-domain BGR.  The returned fn
-    is jitted and vmapped over the batch; per-image PRNG via fold_in."""
+    is jitted and vmapped over the batch; per-image PRNG via fold_in.
+
+    use_pallas=True swaps in the single-HBM-pass fused Pallas kernel for
+    the plans it covers (currently sap+median); the RNG stream differs
+    (coordinate hash vs threefry) with identical statistics.
+    """
     if isinstance(plan, str):
         plan = parse(plan, mode=mode, strict_ref=strict_ref)
     specs = plan.specs
+
+    if (use_pallas and len(specs) == 1
+            and specs[0].kind == Kind.SAP
+            and specs[0].denoise == Denoise.MEDIAN
+            and plan.post_denoise in (Denoise.MEDIAN, Denoise.NONE)):
+        from tpudenoise.noise.pallas_kernels import fused_sap_median
+        amount = specs[0].level
+        double = plan.post_denoise == Denoise.MEDIAN
+
+        @jax.jit
+        def run_pallas(key, images):
+            seeds = jax.random.randint(
+                key, (images.shape[0],), 0, 2**31 - 1)
+            return fused_sap_median(images, seeds, amount, double,
+                                    tile_h=56)
+
+        return run_pallas
     unit_float = all(s.unit_float_output for s in specs)
 
     def one_image(key, img):
