@@ -28,6 +28,10 @@ def parse_args(argv=None):
     p.add_argument('--strict-ref', action='store_true',
                    help='reproduce the reference test-path quirks '
                         '(sap/quant fallthrough etc.)')
+    p.add_argument('--compute-id', action='store_true',
+                   help='log the TwoNN intrinsic dimension of backbone '
+                        'features over the dataset (the reference ID '
+                        'study)')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None)
     return p.parse_args(argv)
@@ -82,7 +86,7 @@ def main(argv=None):
     weights_name = (args.tag or tag or 'default').replace('/', '_')
     test_net(model, params, imdb_obj, weights_name, args.noise,
              max_per_image=args.max_per_image, config=cfg,
-             strict_ref=args.strict_ref)
+             strict_ref=args.strict_ref, compute_id=args.compute_id)
 
 
 if __name__ == '__main__':

@@ -193,9 +193,25 @@ class VocStyleDataset(imdb):
             if len(self._iou_thresholds()) > 1 else {'mAP': mean_ap})
         return aps
 
+    def _do_matlab_eval(self, output_dir='output'):
+        """Official VOCdevkit MATLAB eval bridge (ref rrData.py:271-284);
+        requires cfg.MATLAB and the VOCdevkit-matlab-wrapper scripts —
+        off by default (config['matlab_eval'])."""
+        import subprocess
+        from tpudenoise.core.config import cfg as C
+        path = osp.join(osp.dirname(__file__), 'matlab_wrapper')
+        cmd = (f'cd {path} && {C.MATLAB} -nodisplay -nodesktop -r '
+               f'"dbstop if error; voc_eval(\'{self._devkit_path}\','
+               f'\'{self._get_comp_id()}\',\'{self._image_set}\','
+               f'\'{output_dir}\'); quit;"')
+        print(f'Running:\n{cmd}')
+        subprocess.call(cmd, shell=True)
+
     def evaluate_detections(self, all_boxes, output_dir):
         self._write_voc_results_file(all_boxes)
         aps = self._do_python_eval(output_dir)
+        if self.config.get('matlab_eval'):
+            self._do_matlab_eval(output_dir)
         if self.config['cleanup']:
             for cls in self.classes:
                 if cls == '__background__':

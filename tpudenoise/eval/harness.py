@@ -80,8 +80,12 @@ def limit_per_image(boxes_c, scores_c, mask_c, max_per_image: int):
 def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
              max_per_image: int = 100, thresh: float = 0.0,
              config=None, bucket=(608, 1024), strict_ref: bool = False,
-             target_size=None, max_size=None):
-    """Full dataset evaluation (ref test.py:166-2226)."""
+             target_size=None, max_size=None, compute_id: bool = False):
+    """Full dataset evaluation (ref test.py:166-2226).
+
+    compute_id=True additionally collects pooled backbone activations per
+    image and logs the TwoNN intrinsic dimension of the representation
+    (the reference's ID study, test.py:1919-2218 + wandb log)."""
     import cv2
     C = config or default_cfg
     np.random.seed(C.RNG_SEED)
@@ -89,6 +93,7 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     num_classes = imdb_obj.num_classes
     all_boxes = [[[] for _ in range(num_images)]
                  for _ in range(num_classes)]
+    feats = [] if compute_id else None
     output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
 
     noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
@@ -125,6 +130,9 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
             C.TEST.NMS, thresh, max_per_class=max_per_image)
         timers['im_detect'].toc()
 
+        if feats is not None:
+            feats.append(np.asarray(out['feat_pooled']))
+
         timers['misc'].tic()
         bx = np.asarray(boxes_c)
         sc = np.asarray(scores_c)
@@ -144,5 +152,13 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     det_file = os.path.join(output_dir, 'detections.pkl')
     with open(det_file, 'wb') as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+    if feats is not None and len(feats) >= 10:
+        from tpudenoise.analysis.twonn import compute_id as twonn_id
+        from tpudenoise.utils.logging import get_metrics_logger
+        mean_id, err_id = twonn_id(np.stack(feats), nres=10)
+        print(f'TwoNN intrinsic dimension of backbone features: '
+              f'{mean_id:.2f} +/- {err_id:.2f}')
+        get_metrics_logger().log({'twonn_id_mean': mean_id,
+                                  'twonn_id_err': err_id})
     print(f'Evaluating detections (artifacts in {output_dir})')
     return imdb_obj.evaluate_detections(all_boxes, output_dir)

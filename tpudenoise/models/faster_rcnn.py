@@ -177,7 +177,11 @@ class FasterRCNN:
         bbox_pred = bbox_pred * stds + means
         return {'rois': rois, 'roi_scores': roi_scores, 'roi_mask': mask,
                 'cls_score': cls_score, 'cls_prob': cls_prob,
-                'bbox_pred': bbox_pred}
+                'bbox_pred': bbox_pred,
+                # pooled backbone feature for the TwoNN ID study
+                # (ref test.py:1919-2218 samples conv activations per image)
+                'feat_pooled': jnp.mean(feat, axis=(0, 1)).astype(
+                    jnp.float32)}
 
 
     # ----------------------------------------------------------- train --
