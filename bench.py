@@ -42,7 +42,7 @@ def main():
     def run_many(images, seeds):
         def step(c, i):
             out = fused_sap_median(images, seeds + i, amount=0.4,
-                                   double_filter=True, tile_h=56)
+                                   double_filter=True, tile_h=120)
             # fold the output into a running checksum so no step is DCE'd
             return c + jnp.sum(out[0, ::97, ::89]), None
         c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(INNER))

@@ -65,23 +65,53 @@ def _median9(v: list) -> jnp.ndarray:
     return v[4]
 
 
+def _med3(a, b, c):
+    """Median of three: max(min(a,b), min(max(a,b), c))."""
+    return jnp.maximum(jnp.minimum(a, b),
+                       jnp.minimum(jnp.maximum(a, b), c))
+
+
 def _median3_tile(t: jnp.ndarray, w3: int) -> jnp.ndarray:
     """3x3 median over a tile with one halo row each side:
-    (R+2, W3p) -> (R, W3p).  x-neighbors are +/-3 lane rolls with
-    BORDER_REPLICATE fixes at the true image edges."""
+    (R+2, W3p) -> (R, W3p).
+
+    Uses the Smith column-sort decomposition: sort each vertical triple
+    once (shared across the three x-shifts), then
+    med9 = med3(max(lo_l, lo_c, lo_r), med3(mid_*), min(hi_l, hi_c, hi_r))
+    — ~half the min/max ops of the 19-exchange network.  x-neighbors are
+    +/-3 lane rolls with BORDER_REPLICATE fixes at the true image edges.
+    """
     rows, w3p = t.shape
     out_rows = rows - 2
     lanes = jax.lax.broadcasted_iota(jnp.int32, (out_rows, w3p), 1)
-    vals = []
-    for dy in range(3):
-        band = t[dy:dy + out_rows]
-        left = pltpu.roll(band, shift=3, axis=1)
-        left = jnp.where(lanes < 3, band, left)
-        # negative shifts are rejected; circular roll by (len - 3) == -3
-        right = pltpu.roll(band, shift=w3p - 3, axis=1)
-        right = jnp.where(lanes >= w3 - 3, band, right)
-        vals.extend([left, band, right])
-    return _median9(vals)
+
+    a = t[0:out_rows]
+    b = t[1:out_rows + 1]
+    c = t[2:out_rows + 2]
+    # vertical sort3
+    lo = jnp.minimum(a, b)
+    hi = jnp.maximum(a, b)
+    mid = jnp.minimum(hi, c)
+    hi = jnp.maximum(hi, c)
+    lo2 = jnp.minimum(lo, mid)
+    mid = jnp.maximum(lo, mid)
+    lo = lo2
+
+    def shifts(x):
+        left = pltpu.roll(x, shift=3, axis=1)
+        left = jnp.where(lanes < 3, x, left)
+        # negative shifts rejected; circular roll by (len - 3) == -3
+        right = pltpu.roll(x, shift=w3p - 3, axis=1)
+        right = jnp.where(lanes >= w3 - 3, x, right)
+        return left, x, right
+
+    lo_l, lo_c, lo_r = shifts(lo)
+    mid_l, mid_c, mid_r = shifts(mid)
+    hi_l, hi_c, hi_r = shifts(hi)
+    maxlo = jnp.maximum(jnp.maximum(lo_l, lo_c), lo_r)
+    minhi = jnp.minimum(jnp.minimum(hi_l, hi_c), hi_r)
+    medmid = _med3(mid_l, mid_c, mid_r)
+    return _med3(maxlo, medmid, minhi)
 
 
 def _fused_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
@@ -158,7 +188,7 @@ def _build_call(kernel, n_tiles: int, tile_h: int, hp: int, w3p: int,
                                              'tile_h', 'interpret'))
 def fused_sap_median(images: jnp.ndarray, seeds: jnp.ndarray,
                      amount: float = 0.4, double_filter: bool = True,
-                     tile_h: int = 40, interpret: bool = False
+                     tile_h: int = 120, interpret: bool = False
                      ) -> jnp.ndarray:
     """Fused s&p noise + median3 (x2) over a batch in one HBM pass.
 

@@ -157,7 +157,7 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
             seeds = jax.random.randint(
                 key, (images.shape[0],), 0, 2**31 - 1)
             return fused_sap_median(images, seeds, amount, double,
-                                    tile_h=56)
+                                    tile_h=120)
 
         return run_pallas
     unit_float = all(s.unit_float_output for s in specs)
