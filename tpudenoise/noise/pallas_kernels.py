@@ -114,6 +114,125 @@ def _median3_tile(t: jnp.ndarray, w3: int) -> jnp.ndarray:
     return _med3(maxlo, medmid, minhi)
 
 
+def _u01(bits: jnp.ndarray) -> jnp.ndarray:
+    """uint32 random bits -> uniform [0,1) float32.  Mosaic has no
+    uint32->f32 cast: drop to 31 bits and go through int32."""
+    i31 = pltpu.bitcast(bits >> 1, jnp.int32)
+    return i31.astype(jnp.float32) * jnp.float32(1.0 / 2147483648.0)
+
+
+def _gauss_from_hash(iy, ix, seed, sigma):
+    """Standard-normal noise from two coordinate hashes via Box-Muller
+    (deterministic per absolute coordinate, so tile halos agree)."""
+    u1 = jnp.maximum(_u01(_hash2d(iy, ix, seed)), jnp.float32(1e-12))
+    u2 = _u01(_hash2d(iy, ix, seed + jnp.int32(0x2545F491)))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    return sigma * r * jnp.cos(jnp.float32(2.0 * 3.14159265358979) * u2)
+
+
+def _blur3_tile(t: jnp.ndarray, w3: int) -> jnp.ndarray:
+    """cv2.GaussianBlur((3,3),0) over a tile with one halo row each side:
+    (R+2, W3p) -> (R, W3p), taps [1,2,1]/4 separable, REFLECT_101 at the
+    true x edges, half-up rounding (matches denoise.stencils)."""
+    rows, w3p = t.shape
+    out_rows = rows - 2
+    v = (0.25 * t[0:out_rows] + 0.5 * t[1:out_rows + 1]
+         + 0.25 * t[2:out_rows + 2])
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (out_rows, w3p), 1)
+    left = pltpu.roll(v, shift=3, axis=1)          # value from x-1
+    right = pltpu.roll(v, shift=w3p - 3, axis=1)   # value from x+1
+    # REFLECT_101: x=-1 mirrors x=1, x=w-1's right mirrors x=w-2
+    left = jnp.where(lanes < 3, right, left)
+    right2 = jnp.where(lanes >= w3 - 3, left, right)
+    out = 0.25 * left + 0.5 * v + 0.25 * right2
+    return jnp.floor(out + 0.5)
+
+
+def _fused_gauss_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
+                        tile_h: int, h: int, w3: int, var: float,
+                        double_filter: bool):
+    """Gaussian noise (skimage semantics on [0,1], clipped) + uint8 cast +
+    3x3 gaussian blur (x2 for the TRAIN double-filter) in one HBM pass."""
+    i = pl.program_id(0)
+    win = tile_h + 2 * HALO
+    dma = pltpu.make_async_copy(
+        img_hbm.at[pl.ds(i * tile_h, win), :], scratch, sem)
+    dma.start()
+    dma.wait()
+
+    tile = scratch[:]
+    rows, w3p = tile.shape
+    iy = (i * tile_h - HALO
+          + jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 0))
+    # REFLECT_101 halos contain the MIRRORED noisy rows: the noise drawn
+    # for a halo row must be the mirrored row's noise, not a clamp
+    iy = jnp.where(iy < 0, -iy, iy)
+    iy = jnp.where(iy > h - 1, 2 * (h - 1) - iy, iy)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 1)
+    ix = jnp.minimum(ix, w3 - 1)
+
+    sigma = float(var) ** 0.5
+    if var > 0:
+        z = _gauss_from_hash(iy, ix, seed_ref[0], jnp.float32(sigma))
+        x01 = tile * jnp.float32(1.0 / 255.0) + z
+        noisy = jnp.trunc(jnp.clip(x01, 0.0, 1.0) * 255.0)
+    else:
+        noisy = tile
+
+    b1 = _blur3_tile(noisy, w3)          # rows: win - 2
+    if double_filter:
+        # cv2 re-pads the blurred image (REFLECT_101 rows) before the
+        # second GaussianBlur: row -1 mirrors row 1, row h mirrors h-2
+        rows1 = b1.shape[0]
+        vr = (i * tile_h - (HALO - 1)
+              + jax.lax.broadcasted_iota(jnp.int32, (rows1, w3p), 0))
+        up2 = pltpu.roll(b1, shift=rows1 - 2, axis=0)    # row r <- r+2
+        down2 = pltpu.roll(b1, shift=2, axis=0)          # row r <- r-2
+        b1 = jnp.where(vr == -1, up2, b1)
+        b1 = jnp.where(vr == h, down2, b1)
+        out_ref[:] = _blur3_tile(b1, w3)[HALO - 2:HALO - 2 + tile_h]
+    else:
+        out_ref[:] = b1[HALO - 1:HALO - 1 + tile_h]
+
+
+@functools.partial(jax.jit, static_argnames=('var', 'double_filter',
+                                             'tile_h', 'interpret'))
+def fused_gaussian_blur(images: jnp.ndarray, seeds: jnp.ndarray,
+                        var: float = 0.1, double_filter: bool = True,
+                        tile_h: int = 120, interpret: bool = False
+                        ) -> jnp.ndarray:
+    """Fused gaussian noise + GaussianBlur3 (x2) in one HBM pass — the
+    BASELINE.json config-1 path ('gaussian_gaus_blur_varX').
+
+    images: (B, H, W, 3) f32 u8-domain.  Noise follows skimage
+    random_noise semantics (add N(0, var) in [0,1], clip, cast); the blur
+    pair matches cv2 bit-exactly given the same noise.  Note: the
+    pipeline's gaussian level randomization (spec.is_random_level) is the
+    caller's job — pass a concrete var.
+    """
+    assert tile_h % 8 == 0
+    b, h, w, _ = images.shape
+    w3 = w * 3
+    w3p = ((w3 + LANES - 1) // LANES) * LANES
+    n_tiles = (h + tile_h - 1) // tile_h
+    hp = n_tiles * tile_h
+    flat = images.reshape(b, h, w3)
+    # REFLECT_101 halo rows (np 'reflect'), pad-to-tiles + x pad
+    flat = jnp.pad(flat, ((0, 0), (HALO, 0), (0, 0)), mode='reflect')
+    flat = jnp.pad(flat, ((0, 0), (0, hp - h + HALO), (0, w3p - w3)),
+                   mode='reflect')
+    kernel = functools.partial(_fused_gauss_kernel, tile_h=tile_h, h=h,
+                               w3=w3, var=var,
+                               double_filter=double_filter)
+    call = _build_call(kernel, n_tiles, tile_h, hp, w3p, interpret)
+
+    def one(img2d, seed):
+        return call(jnp.asarray([seed], jnp.int32), img2d)
+
+    out = jax.vmap(one)(flat, seeds.astype(jnp.int32))
+    return out[:, :h, :w3].reshape(b, h, w, 3)
+
+
 def _fused_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
                   tile_h: int, h: int, w3: int, amount: float,
                   double_filter: bool):

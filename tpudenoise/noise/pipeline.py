@@ -144,22 +144,47 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         plan = parse(plan, mode=mode, strict_ref=strict_ref)
     specs = plan.specs
 
-    if (use_pallas and len(specs) == 1
-            and specs[0].kind == Kind.SAP
-            and specs[0].denoise == Denoise.MEDIAN
-            and plan.post_denoise in (Denoise.MEDIAN, Denoise.NONE)):
-        from tpudenoise.noise.pallas_kernels import fused_sap_median
-        amount = specs[0].level
-        double = plan.post_denoise == Denoise.MEDIAN
+    if use_pallas and len(specs) == 1:
+        s = specs[0]
+        if (s.kind == Kind.SAP and s.denoise == Denoise.MEDIAN
+                and plan.post_denoise in (Denoise.MEDIAN, Denoise.NONE)):
+            from tpudenoise.noise.pallas_kernels import fused_sap_median
+            amount = s.level
+            double = plan.post_denoise == Denoise.MEDIAN
 
-        @jax.jit
-        def run_pallas(key, images):
-            seeds = jax.random.randint(
-                key, (images.shape[0],), 0, 2**31 - 1)
-            return fused_sap_median(images, seeds, amount, double,
-                                    tile_h=120)
+            @jax.jit
+            def run_sap(key, images):
+                seeds = jax.random.randint(
+                    key, (images.shape[0],), 0, 2**31 - 1)
+                return fused_sap_median(images, seeds, amount, double)
 
-        return run_pallas
+            return run_sap
+        if (s.kind == Kind.GAUSSIAN and s.denoise == Denoise.GAUS_BLUR
+                and plan.post_denoise in (Denoise.GAUS_BLUR,
+                                          Denoise.NONE)):
+            from tpudenoise.noise.pallas_kernels import fused_gaussian_blur
+            double = plan.post_denoise == Denoise.GAUS_BLUR
+            levels = (GAUSSIAN_RANDOM_LEVELS if s.is_random_level
+                      else [s.level])
+
+            @jax.jit
+            def run_gauss(key, images):
+                k1, k2 = jax.random.split(key)
+                seeds = jax.random.randint(
+                    k1, (images.shape[0],), 0, 2**31 - 1)
+                if len(levels) == 1:
+                    return fused_gaussian_blur(images, seeds, levels[0],
+                                               double)
+                # randomized gaussian level quirk: one level per batch
+                # draw (the per-image randomization of the XLA path is
+                # approximated batch-wise in the fused kernel)
+                idx = jax.random.randint(k2, (), 0, len(levels))
+                branches = [
+                    (lambda im, sd, v=v: fused_gaussian_blur(
+                        im, sd, v, double)) for v in levels]
+                return jax.lax.switch(idx, branches, images, seeds)
+
+            return run_gauss
     unit_float = all(s.unit_float_output for s in specs)
 
     def one_image(key, img):
