@@ -1,0 +1,67 @@
+"""voc_ap goldens, proposal_top (TEST.MODE='top'), blob utils, ds_utils."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def test_voc_ap_11_point_golden():
+    from tpudenoise.eval.voc_eval import voc_ap
+    # perfect detector: rec ramps to 1, prec stays 1
+    rec = np.linspace(0.1, 1.0, 10)
+    prec = np.ones(10)
+    assert abs(voc_ap(rec, prec, use_07_metric=True) - 1.0) < 1e-9
+    assert abs(voc_ap(rec, prec, use_07_metric=False) - 1.0) < 1e-9
+    # known case: half the recall at full precision
+    rec = np.array([0.25, 0.5])
+    prec = np.array([1.0, 1.0])
+    # 11-pt: t in {0,.1,.2,.3,.4,.5} have prec 1 -> 6/11
+    assert abs(voc_ap(rec, prec, True) - 6 / 11) < 1e-9
+    # continuous: area = 0.5 * 1.0
+    assert abs(voc_ap(rec, prec, False) - 0.5) < 1e-9
+
+
+def test_proposal_top_mode_forward():
+    """TEST.MODE='top' routes through proposal_top_layer
+    (ref network.py:352-356, proposal_top_layer.py:58-85)."""
+    from tpudenoise.core.config import default_config
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    cfg = default_config()
+    cfg.TEST.MODE = 'top'
+    cfg.TEST.RPN_TOP_N = 50
+    m = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    img = np.random.RandomState(0).randn(64, 96, 3).astype(np.float32) * 20
+    out = m.forward_test(params, jnp.asarray(img),
+                         jnp.asarray([60., 90., 1.]))
+    assert out['rois'].shape == (50, 4)
+    assert bool(np.asarray(out['roi_mask']).all())  # top-k has no padding
+    # rois clipped to the true extent
+    rois = np.asarray(out['rois'])
+    assert rois[:, 2].max() <= 89 and rois[:, 3].max() <= 59
+
+
+def test_blob_utils():
+    from tpudenoise.utils.blob import im_list_to_blob, prep_im_for_blob
+    ims = [np.ones((10, 12, 3), np.float32),
+           np.full((8, 16, 3), 2.0, np.float32)]
+    blob = im_list_to_blob(ims)
+    assert blob.shape == (2, 10, 16, 3)
+    assert blob[1, 9, 0, 0] == 0.0  # zero padding
+    im, scale = prep_im_for_blob(
+        np.zeros((100, 200, 3), np.uint8), np.zeros((1, 1, 3)), 600, 1000)
+    # min side 100 -> x6 would make max side 1200 > 1000 -> scale by 5
+    assert abs(scale - 5.0) < 1e-6
+    assert im.shape[:2] == (500, 1000)
+
+
+def test_ds_utils():
+    from tpudenoise.data.ds_utils import (filter_small_boxes, unique_boxes,
+                                          xywh_to_xyxy, xyxy_to_xywh)
+    boxes = np.array([[0, 0, 10, 10], [0, 0, 10, 10], [5, 5, 20, 20]],
+                     float)
+    assert list(unique_boxes(boxes)) == [0, 2]
+    xywh = xyxy_to_xywh(boxes)
+    np.testing.assert_array_equal(xywh_to_xyxy(xywh), boxes)
+    assert list(filter_small_boxes(boxes, 8)) == [0, 1, 2]
+    assert list(filter_small_boxes(boxes, 12)) == [2]
