@@ -38,7 +38,7 @@ class Solver:
     def __init__(self, model, imdb_obj, roidb, valroidb, output_dir,
                  tb_dir, noise: str = 'original', config=None,
                  batch_size: int = 1, bucket=(608, 1024),
-                 max_gt: int = 100):
+                 max_gt: int = 100, prefetch: bool = False):
         self.model = model
         self.imdb = imdb_obj
         self.roidb = roidb
@@ -49,6 +49,7 @@ class Solver:
         self.bucket = tuple(bucket)
         self.batch_size = batch_size
         self.max_gt = max_gt
+        self.prefetch = prefetch
         os.makedirs(output_dir, exist_ok=True)
         self.logger = MetricsLogger(logdir=tb_dir)
 
@@ -153,6 +154,11 @@ class Solver:
         loader = RoiDataLoader(self.roidb, self.imdb.num_classes, C,
                                batch_size=self.batch_size,
                                bucket=self.bucket, max_gt=self.max_gt)
+        if self.prefetch:
+            # overlap JPEG decode/resize with the device step (the only
+            # host work left once noise moved on device)
+            from tpudenoise.data.prefetch import PrefetchLoader
+            loader = PrefetchLoader(loader)
         val_loader = RoiDataLoader(self.valroidb, self.imdb.num_classes,
                                    C, random_seed=int(time.time()) % 2**31,
                                    batch_size=self.batch_size,
