@@ -47,15 +47,26 @@ def test_prefetch_overlaps_latency():
     pf.close()
 
 
-def test_state_restore_replays():
+def test_state_restore_is_exact():
+    """Snapshot reflects the last CONSUMED batch, not the read-ahead
+    cursor: restore replays exactly the batches seen after the snapshot."""
     inner = FakeLoader(delay=0.005)
     pf = PrefetchLoader(inner, depth=2)
     a = [pf.forward()['idx'] for _ in range(3)]
     st = pf.get_state()
+    assert st['cursor'] == 3  # not advanced by queued batches
     b = [pf.forward()['idx'] for _ in range(3)]
     pf.set_state(st)
     c = [pf.forward()['idx'] for _ in range(3)]
     assert a == [0, 1, 2]
-    # after restore, production resumes from the snapshotted cursor
-    assert c[0] == st['cursor']
+    assert c == b == [3, 4, 5]
+    pf.close()
+
+
+def test_state_before_any_consumption():
+    inner = FakeLoader(delay=0.005)
+    pf = PrefetchLoader(inner, depth=2)
+    time.sleep(0.05)  # let the worker run ahead
+    st = pf.get_state()
+    assert st['cursor'] == 0
     pf.close()

@@ -37,9 +37,11 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def load_params(model, model_path, net, key):
+def load_params(model, model_path, net, key, image_shape=(608, 1024)):
     import jax
-    params = model.init(key)
+    import jax.numpy as jnp
+    import numpy as np
+    params = model.init(key, image_shape=image_shape)
     if not model_path:
         print('WARNING: no --model given; evaluating random weights')
         return params, 'random'
@@ -48,14 +50,17 @@ def load_params(model, model_path, net, key):
         from tpudenoise.train.solver import _merge_pretrained
         pre = load_pretrained(model_path, net)
         return _merge_pretrained(params, pre), model_path
+    # training snapshots carry params+opt_state+step+key; restore the raw
+    # tree without a template (a partial template is rejected by orbax)
+    # and coerce the params subtree onto the live structure/dtypes
     import orbax.checkpoint as ocp
     import os.path as osp
-    ckptr = ocp.StandardCheckpointer()
-    tpl = {'params': params, 'opt_state': None, 'step': None, 'key': None}
-    restored = ckptr.restore(
-        osp.abspath(model_path) + '.orbax',
-        {'params': params})
-    return restored['params'], model_path
+    ckptr = ocp.PyTreeCheckpointer()
+    raw = ckptr.restore(osp.abspath(model_path) + '.orbax')
+    restored = raw['params']
+    coerce = lambda tpl, got: jnp.asarray(np.asarray(got), tpl.dtype)
+    params = jax.tree_util.tree_map(coerce, params, restored)
+    return params, model_path
 
 
 def main(argv=None):

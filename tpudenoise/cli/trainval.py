@@ -33,8 +33,9 @@ def parse_args(argv=None):
     p.add_argument('--batch', type=int, default=1,
                    help='images per device batch (TPU addition; the '
                         'reference is fixed at 1)')
-    p.add_argument('--bucket', type=int, nargs=2, default=(608, 1024),
-                   help='static padded image bucket H W')
+    p.add_argument('--bucket', type=int, nargs=2, default=None,
+                   help='static padded image bucket H W (default: derived '
+                        'from TRAIN geometry and dataset orientations)')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None, help='set config keys')
     return p.parse_args(argv)
@@ -79,7 +80,7 @@ def main(argv=None):
     train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
               pretrained_params=pretrained, max_iters=args.max_iters,
               noise=args.noise, config=cfg, batch_size=args.batch,
-              bucket=tuple(args.bucket))
+              bucket=tuple(args.bucket) if args.bucket else None)
 
 
 if __name__ == '__main__':

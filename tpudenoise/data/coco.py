@@ -116,9 +116,11 @@ class coco(imdb):
                 ws = dets[:, 2] - xs + 1
                 hs = dets[:, 3] - ys + 1
                 results.extend(
-                    [{'image_id': index, 'category_id': cat_id,
-                      'bbox': [xs[k], ys[k], ws[k], hs[k]],
-                      'score': dets[k, -1]} for k in range(dets.shape[0])])
+                    [{'image_id': int(index), 'category_id': int(cat_id),
+                      'bbox': [float(xs[k]), float(ys[k]), float(ws[k]),
+                               float(hs[k])],
+                      'score': float(dets[k, -1])}
+                     for k in range(dets.shape[0])])
         with open(res_file, 'w') as f:
             json.dump(results, f)
 

@@ -32,12 +32,24 @@ from tpudenoise.core.config import cfg as default_cfg
 class RoiDataLoader:
     def __init__(self, roidb, num_classes: int, config=None,
                  random_seed=None, batch_size: int = 1,
-                 bucket=(608, 1024), max_gt: int = 100,
+                 bucket=None, max_gt: int = 100,
                  training: bool = True):
         self._roidb = roidb
         self._num_classes = num_classes
         self._cfg = config or default_cfg
         self._batch = batch_size
+        if bucket is None:
+            # derive a static bucket covering every rescaled image; if any
+            # entry is portrait the long side can land on H, so cover both
+            # orientations with a square bucket
+            from tpudenoise.utils.blob import derive_bucket
+            C = self._cfg
+            scales = C.TRAIN.SCALES if training else C.TEST.SCALES
+            max_size = C.TRAIN.MAX_SIZE if training else C.TEST.MAX_SIZE
+            any_portrait = any(e.get('height', 0) > e.get('width', 1)
+                               for e in roidb)
+            bucket = (derive_bucket(max_size, max_size) if any_portrait
+                      else derive_bucket(scales[0], max_size))
         self._bucket = tuple(bucket)
         self._max_gt = max_gt
         self._training = training

@@ -6,9 +6,11 @@ layer.py:85-88, SURVEY.md §3.1 hot loop).  With noise on device, the only
 host work left is JPEG decode + resize — this wrapper overlaps it with the
 device step using a background thread and a bounded queue.
 
-State protocol: get_state/set_state proxy to the inner loader; setting
-state drains the queue so resume stays exact (prefetched-but-unconsumed
-batches are discarded and re-produced from the restored cursor).
+State protocol: each produced batch is queued together with the inner
+cursor state taken right after producing it; `get_state` returns the state
+of the last batch the CONSUMER actually received (not the inner cursor,
+which runs ahead by the queued batches), so snapshot/restore is exact:
+prefetched-but-unconsumed batches are discarded and re-produced.
 """
 
 from __future__ import annotations
@@ -25,6 +27,9 @@ class PrefetchLoader:
         self._lock = threading.Lock()
         self._stop = threading.Event()
         self._thread = None
+        # cursor state the consumer has logically reached (before the
+        # worker runs ahead)
+        self._consumed_state = loader.get_state()
         self._start()
 
     def _start(self):
@@ -36,23 +41,26 @@ class PrefetchLoader:
         while not self._stop.is_set():
             with self._lock:
                 batch = self._loader.forward()
+                post_state = self._loader.get_state()
+            item = (batch, post_state)
             while not self._stop.is_set():
                 try:
-                    self._queue.put(batch, timeout=0.1)
+                    self._queue.put(item, timeout=0.1)
                     break
                 except queue.Full:
                     continue
 
     def forward(self):
-        return self._queue.get()
+        batch, post_state = self._queue.get()
+        # cursor state AFTER the last batch the consumer actually saw —
+        # snapshotting this (not the inner cursor, which has run ahead by
+        # the queued batches) keeps resume exact
+        self._consumed_state = post_state
+        return batch
 
-    # --- checkpointable cursor protocol (proxied) ---
+    # --- checkpointable cursor protocol ---
     def get_state(self):
-        # note: the inner cursor is ahead by the prefetched batches; for
-        # exact resume we pause production and snapshot, accepting that
-        # queued batches will be regenerated after restore
-        with self._lock:
-            return self._loader.get_state()
+        return self._consumed_state
 
     def set_state(self, state):
         self._stop.set()
@@ -60,6 +68,7 @@ class PrefetchLoader:
         while not self._queue.empty():
             self._queue.get_nowait()
         self._loader.set_state(state)
+        self._consumed_state = self._loader.get_state()
         self._start()
 
     def close(self):

@@ -79,14 +79,24 @@ def limit_per_image(boxes_c, scores_c, mask_c, max_per_image: int):
 
 def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
              max_per_image: int = 100, thresh: float = 0.0,
-             config=None, bucket=(608, 1024), strict_ref: bool = False,
+             config=None, bucket=None, strict_ref: bool = False,
              target_size=None, max_size=None, compute_id: bool = False):
     """Full dataset evaluation (ref test.py:166-2226).
 
+    bucket=None derives orientation-aware static buckets from the TEST
+    geometry (landscape (s, m) / portrait (m, s)) — at most two compiled
+    programs regardless of dataset shapes.
+
     compute_id=True additionally collects pooled backbone activations per
     image and logs the TwoNN intrinsic dimension of the representation
-    (the reference's ID study, test.py:1919-2218 + wandb log)."""
+    (the reference's ID study, test.py:1919-2218 + wandb log).
+
+    Note: noise is synthesized at the ORIGINAL image resolution (reference
+    order, test.py:189-1831), so the fused noise program recompiles per
+    distinct raw image shape — free for single-camera datasets like
+    rrData, noticeable on shape-diverse sets like VOC."""
     import cv2
+    from tpudenoise.utils.blob import derive_bucket, prep_im_for_blob
     C = config or default_cfg
     np.random.seed(C.RNG_SEED)
     num_images = imdb_obj.num_images
@@ -105,23 +115,19 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     for i in range(num_images):
         im = cv2.imread(imdb_obj.image_path_at(i))
         timers['im_detect'].tic()
-        # fused device noise->denoise on the original image
+        # fused device noise->denoise on the original image; a gaussian-
+        # plain plan emits the float [0,1] image which flows into the
+        # mean-subtract prep as-is (quirk, ref test.py:290-305)
         noisy = noise_fn(jax.random.fold_in(key, i),
                          jnp.asarray(im.astype(np.float32))[None])
         noisy = np.asarray(noisy[0])
-        if noisy.max() <= 1.0 + 1e-6:
-            # gaussian-plain quirk: float [0,1] image flows into the
-            # mean-subtract prep as-is (ref test.py:290-305)
-            pass
         # prep: mean subtract + min/max-side rescale (test.py:49-83)
-        imf = noisy - np.asarray(C.PIXEL_MEANS, np.float32)
+        imf, scale = prep_im_for_blob(
+            noisy, np.asarray(C.PIXEL_MEANS, np.float32), t_size, m_size)
         h, w = imf.shape[:2]
-        scale = float(t_size) / min(h, w)
-        if np.round(scale * max(h, w)) > m_size:
-            scale = float(m_size) / max(h, w)
-        imf = cv2.resize(imf, None, None, fx=scale, fy=scale,
-                         interpolation=cv2.INTER_LINEAR)
-        padded, (ph, pw) = pad_to_bucket(imf, bucket)
+        img_bucket = bucket or derive_bucket(t_size, m_size,
+                                             portrait=h > w)
+        padded, (ph, pw) = pad_to_bucket(imf, img_bucket)
         im_info = jnp.asarray([ph, pw, scale], jnp.float32)
         out = model.forward_test(params, jnp.asarray(padded), im_info)
         boxes_c, scores_c, mask_c = postprocess_detections(

@@ -110,11 +110,9 @@ class FasterRCNN:
         head_p = self.head_mod.init(kh, dummy)['params']
         feat = self.head_mod.apply({'params': head_p}, dummy)
         rpn_p = self.rpn_mod.init(kr, feat)['params']
-        crop = self.pool_size * 2 if self.pool_then_max else self.pool_size
         dummy_crops = jnp.zeros(
             (2, self.pool_size, self.pool_size, feat.shape[-1]),
             self.dtype)
-        del crop
         tail_p = self.tail_mod.init(kt, dummy_crops)['params']
         return {'head': head_p, 'rpn': rpn_p, 'tail': tail_p}
 
@@ -239,19 +237,10 @@ class FasterRCNN:
 def preprocess(image_u8: np.ndarray, pixel_means, target_size: int = 600,
                max_size: int = 1000):
     """Host-side prep mirroring _get_image_blob (ref lib/model/test.py:
-    49-83 and lib/utils/blob.py:33-47): BGR float - PIXEL_MEANS, rescale so
-    min side = target_size capped so max side <= max_size (cv2 bilinear).
-    Returns (image f32, scale)."""
-    import cv2
-    im = image_u8.astype(np.float32) - pixel_means
-    h, w = im.shape[:2]
-    im_min, im_max = min(h, w), max(h, w)
-    scale = float(target_size) / im_min
-    if round(scale * im_max) > max_size:
-        scale = float(max_size) / im_max
-    im = cv2.resize(im, None, None, fx=scale, fy=scale,
-                    interpolation=cv2.INTER_LINEAR)
-    return im, scale
+    49-83): delegates to utils.blob.prep_im_for_blob, the single source of
+    truth for the mean-subtract + min/max-side rescale rule."""
+    from tpudenoise.utils.blob import prep_im_for_blob
+    return prep_im_for_blob(image_u8, pixel_means, target_size, max_size)
 
 
 def pad_to_bucket(im: np.ndarray, bucket=(608, 1024)):

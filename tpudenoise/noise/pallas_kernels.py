@@ -48,23 +48,6 @@ def _hash2d(iy: jnp.ndarray, ix: jnp.ndarray, seed: jnp.ndarray
     return h
 
 
-def _median9(v: list) -> jnp.ndarray:
-    """Median of 9 equal-shaped arrays via the 19-exchange network."""
-    v = list(v)
-
-    def cas(i, j):
-        lo = jnp.minimum(v[i], v[j])
-        hi = jnp.maximum(v[i], v[j])
-        v[i], v[j] = lo, hi
-
-    for (i, j) in [(1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7),
-                   (1, 2), (4, 5), (7, 8), (0, 3), (5, 8), (4, 7),
-                   (3, 6), (1, 4), (2, 5), (4, 7), (4, 2), (6, 4),
-                   (4, 2)]:
-        cas(i, j)
-    return v[4]
-
-
 def _med3(a, b, c):
     """Median of three: max(min(a,b), min(max(a,b), c))."""
     return jnp.maximum(jnp.minimum(a, b),

@@ -34,8 +34,9 @@ from tpudenoise.noise.spec import (Denoise, GAUSSIAN_RANDOM_LEVELS, Kind,
 _FILTERS = {
     Denoise.GAUS_BLUR: lambda im, r: gaussian_blur3(im, round_u8=r),
     Denoise.MEAN: lambda im, r: mean3(im, round_u8=r),
+    # median/bilateral are value-selecting/normalized — no rounding mode
     Denoise.MEDIAN: lambda im, r: median3(im),
-    Denoise.BILATERAL: lambda im, r: bilateral(im) if r else bilateral(im),
+    Denoise.BILATERAL: lambda im, r: bilateral(im),
 }
 
 

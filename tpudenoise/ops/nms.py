@@ -103,7 +103,7 @@ def nms(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
 @functools.partial(jax.jit, static_argnames=('max_outputs', 'max_iters'))
 def nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
                  max_outputs: int, valid: jnp.ndarray | None = None,
-                 max_iters: int = 64):
+                 max_iters: int | None = None):
     """Exact greedy NMS via data-parallel fixpoint sweeps.
 
     alive^{k+1}[j] = valid[j] & !OR_{i<j} (M[i,j] & alive^k[i]) with
@@ -111,8 +111,14 @@ def nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
     reaches the greedy fixpoint in at most the longest suppress-chain
     length; each sweep is one (N, N) VPU matrix op — the TPU analogue of
     the 64x64 bitmask tiles in nms_kernel.cu:34-78.
+
+    max_iters defaults to N (a chain cannot be longer than the box count),
+    guaranteeing convergence to the exact greedy solution; the loop exits
+    early the sweep after nothing changes (typically < 10 sweeps).
     """
     n = boxes.shape[0]
+    if max_iters is None:
+        max_iters = n
     scores = scores.astype(jnp.float32)
     if valid is not None:
         scores = jnp.where(valid, scores, NEG_INF)

@@ -98,10 +98,8 @@ def make_spatial_filter(mesh: Mesh, kind: str = 'median',
     `axis`.  kind: 'median' | 'mean' | 'gaussian'.  Output sharding matches
     the input.  H must divide by the axis size."""
     if kind == 'median':
-        def local(x):
-            return jnp.round(_median3_rows(x)) if False else \
-                _median3_rows(x)
-        rounder = jnp.round
+        local = _median3_rows
+        rounder = None  # value-selecting: already integer-valued
     elif kind == 'mean':
         def local(x):
             return _sep3_rows(x, 1.0, 1.0) * (1.0 / 9.0)
@@ -118,7 +116,7 @@ def make_spatial_filter(mesh: Mesh, kind: str = 'median',
     def shard_fn(block):
         above, below = _exchange_halo(block, axis, 1, border)
         out = _stencil_with_halo(block, above, below, local)
-        return rounder(out) if kind != 'median' else out
+        return rounder(out) if rounder is not None else out
 
     spec = P(None, axis, None, None)  # shard H over the mesh axis
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)

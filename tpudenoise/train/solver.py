@@ -37,7 +37,7 @@ from tpudenoise.utils.timer import Timer
 class Solver:
     def __init__(self, model, imdb_obj, roidb, valroidb, output_dir,
                  tb_dir, noise: str = 'original', config=None,
-                 batch_size: int = 1, bucket=(608, 1024),
+                 batch_size: int = 1, bucket=None,
                  max_gt: int = 100, prefetch: bool = False):
         self.model = model
         self.imdb = imdb_obj
@@ -46,6 +46,15 @@ class Solver:
         self.output_dir = output_dir
         self.cfg = config or default_cfg
         self.noise = noise
+        if bucket is None:
+            from tpudenoise.utils.blob import derive_bucket
+            C = self.cfg
+            any_portrait = any(e.get('height', 0) > e.get('width', 1)
+                               for e in roidb)
+            bucket = (derive_bucket(C.TRAIN.MAX_SIZE, C.TRAIN.MAX_SIZE)
+                      if any_portrait
+                      else derive_bucket(C.TRAIN.SCALES[0],
+                                         C.TRAIN.MAX_SIZE))
         self.bucket = tuple(bucket)
         self.batch_size = batch_size
         self.max_gt = max_gt
@@ -208,7 +217,7 @@ class Solver:
 def train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
               pretrained_params=None, max_iters: int = 40000,
               noise: str = 'original', config=None, batch_size: int = 1,
-              bucket=(608, 1024)):
+              bucket=None):
     """Entry point (ref train_val.py:498-516)."""
     from tpudenoise.data.roidb import filter_roidb
     roidb = filter_roidb(roidb, config)
@@ -218,9 +227,9 @@ def train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
                     bucket=bucket)
     if pretrained_params is not None:
         base = solver._init_state_fn(
-            jax.random.PRNGKey((config or default_cfg).RNG_SEED), bucket)
+            jax.random.PRNGKey((config or default_cfg).RNG_SEED),
+            solver.bucket)
         merged = _merge_pretrained(base.params, pretrained_params)
-        solver._pretrained = merged  # stash for train_model initial state
 
         orig_init = solver._init_state_fn
 

@@ -18,7 +18,9 @@ def im_list_to_blob(ims) -> np.ndarray:
 
 def prep_im_for_blob(im: np.ndarray, pixel_means, target_size: int,
                      max_size: int):
-    """Mean-subtract + min-side/max-side rescale (ref blob.py:33-47)."""
+    """Mean-subtract + min-side/max-side rescale (ref blob.py:33-47).
+    The single source of truth for the rescale rule — the loader, eval
+    harness and model preprocess all call this."""
     import cv2
     im = im.astype(np.float32, copy=False) - pixel_means
     im_shape = im.shape
@@ -30,3 +32,17 @@ def prep_im_for_blob(im: np.ndarray, pixel_means, target_size: int,
     im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
                     interpolation=cv2.INTER_LINEAR)
     return im, im_scale
+
+
+def _round_up(v: int, m: int = 32) -> int:
+    return ((int(v) + m - 1) // m) * m
+
+
+def derive_bucket(target_size: int, max_size: int,
+                  portrait: bool = False) -> tuple:
+    """Static padded bucket covering every min-side/max-side rescale of the
+    given geometry: (short, long) for landscape, (long, short) for
+    portrait, rounded up to 32."""
+    s = _round_up(target_size)
+    m = _round_up(max_size)
+    return (m, s) if portrait else (s, m)
