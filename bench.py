@@ -31,7 +31,7 @@ NOISE = 'sap_median_var0.4'  # BASELINE.json config 2: s&p + median over
 
 def main():
     jax.config.update('jax_threefry_partitionable', True)
-    from tpudenoise.noise.pallas_kernels import fused_sap_median
+    from tpudenoise.noise.pallas_kernels import fused_sap_median_batched
 
     rng = np.random.RandomState(3)
     images = jax.device_put(jnp.asarray(
@@ -41,8 +41,8 @@ def main():
     @jax.jit
     def run_many(images, seeds):
         def step(c, i):
-            out = fused_sap_median(images, seeds + i, amount=0.4,
-                                   double_filter=True, tile_h=120)
+            out = fused_sap_median_batched(images, seeds + i, amount=0.4,
+                                           double_filter=True, tile_h=56)
             # fold the output into a running checksum so no step is DCE'd
             return c + jnp.sum(out[0, ::97, ::89]), None
         c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(INNER))

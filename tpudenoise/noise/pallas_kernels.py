@@ -131,19 +131,10 @@ def _blur3_tile(t: jnp.ndarray, w3: int) -> jnp.ndarray:
     return jnp.floor(out + 0.5)
 
 
-def _fused_gauss_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
-                        tile_h: int, h: int, w3: int, var: float,
-                        double_filter: bool):
+def _gauss_blur_body(tile, i, tile_h, h, w3, seed, var, double_filter,
+                     out_ref):
     """Gaussian noise (skimage semantics on [0,1], clipped) + uint8 cast +
-    3x3 gaussian blur (x2 for the TRAIN double-filter) in one HBM pass."""
-    i = pl.program_id(0)
-    win = tile_h + 2 * HALO
-    dma = pltpu.make_async_copy(
-        img_hbm.at[pl.ds(i * tile_h, win), :], scratch, sem)
-    dma.start()
-    dma.wait()
-
-    tile = scratch[:]
+    3x3 gaussian blur (x2 for the TRAIN double-filter) on one tile."""
     rows, w3p = tile.shape
     iy = (i * tile_h - HALO
           + jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 0))
@@ -156,7 +147,7 @@ def _fused_gauss_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
 
     sigma = float(var) ** 0.5
     if var > 0:
-        z = _gauss_from_hash(iy, ix, seed_ref[0], jnp.float32(sigma))
+        z = _gauss_from_hash(iy, ix, seed, jnp.float32(sigma))
         x01 = tile * jnp.float32(1.0 / 255.0) + z
         noisy = jnp.trunc(jnp.clip(x01, 0.0, 1.0) * 255.0)
     else:
@@ -173,16 +164,49 @@ def _fused_gauss_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
         down2 = pltpu.roll(b1, shift=2, axis=0)          # row r <- r-2
         b1 = jnp.where(vr == -1, up2, b1)
         b1 = jnp.where(vr == h, down2, b1)
-        out_ref[:] = _blur3_tile(b1, w3)[HALO - 2:HALO - 2 + tile_h]
+        out_ref[0] = _blur3_tile(b1, w3)[HALO - 2:HALO - 2 + tile_h]
     else:
-        out_ref[:] = b1[HALO - 1:HALO - 1 + tile_h]
+        out_ref[0] = b1[HALO - 1:HALO - 1 + tile_h]
+
+
+def _fused_gauss_batched_kernel(seed_ref, img_hbm, out_ref, scratch, sems,
+                                *, tile_h: int, n_tiles: int, batch: int,
+                                h: int, w3: int, var: float,
+                                double_filter: bool):
+    """Batch-grid gaussian+blur with double-buffered input DMA."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    k = b * n_tiles + i
+    total = batch * n_tiles
+    win = tile_h + 2 * HALO
+    slot = jax.lax.rem(k, 2)
+    nxt_slot = jax.lax.rem(k + 1, 2)
+
+    def dma_for(step, slot_idx):
+        bb = step // n_tiles
+        ii = jax.lax.rem(step, n_tiles)
+        return pltpu.make_async_copy(
+            img_hbm.at[bb, pl.ds(ii * tile_h, win), :],
+            scratch.at[slot_idx], sems.at[slot_idx])
+
+    @pl.when(k == 0)
+    def _():
+        dma_for(0, slot).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        dma_for(k + 1, nxt_slot).start()
+
+    dma_for(k, slot).wait()
+    _gauss_blur_body(scratch[slot], i, tile_h, h, w3, seed_ref[b], var,
+                     double_filter, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=('var', 'double_filter',
                                              'tile_h', 'interpret'))
 def fused_gaussian_blur(images: jnp.ndarray, seeds: jnp.ndarray,
                         var: float = 0.1, double_filter: bool = True,
-                        tile_h: int = 120, interpret: bool = False
+                        tile_h: int = 88, interpret: bool = False
                         ) -> jnp.ndarray:
     """Fused gaussian noise + GaussianBlur3 (x2) in one HBM pass — the
     BASELINE.json config-1 path ('gaussian_gaus_blur_varX').
@@ -194,26 +218,36 @@ def fused_gaussian_blur(images: jnp.ndarray, seeds: jnp.ndarray,
     caller's job — pass a concrete var.
     """
     assert tile_h % 8 == 0
-    b, h, w, _ = images.shape
+    bsz, h, w, _ = images.shape
     w3 = w * 3
     w3p = ((w3 + LANES - 1) // LANES) * LANES
     n_tiles = (h + tile_h - 1) // tile_h
     hp = n_tiles * tile_h
-    flat = images.reshape(b, h, w3)
+    flat = images.reshape(bsz, h, w3)
     # REFLECT_101 halo rows (np 'reflect'), pad-to-tiles + x pad
     flat = jnp.pad(flat, ((0, 0), (HALO, 0), (0, 0)), mode='reflect')
     flat = jnp.pad(flat, ((0, 0), (0, hp - h + HALO), (0, w3p - w3)),
                    mode='reflect')
-    kernel = functools.partial(_fused_gauss_kernel, tile_h=tile_h, h=h,
-                               w3=w3, var=var,
-                               double_filter=double_filter)
-    call = _build_call(kernel, n_tiles, tile_h, hp, w3p, interpret)
-
-    def one(img2d, seed):
-        return call(jnp.asarray([seed], jnp.int32), img2d)
-
-    out = jax.vmap(one)(flat, seeds.astype(jnp.int32))
-    return out[:, :h, :w3].reshape(b, h, w, 3)
+    kernel = functools.partial(
+        _fused_gauss_batched_kernel, tile_h=tile_h, n_tiles=n_tiles,
+        batch=bsz, h=h, w3=w3, var=var, double_filter=double_filter)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, tile_h, w3p),
+                                   lambda b, i, s: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_h + 2 * HALO, w3p), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w3p), jnp.float32),
+        interpret=interpret,
+    )(seeds.astype(jnp.int32), flat)
+    return out[:, :h, :w3].reshape(bsz, h, w, 3)
 
 
 def _fused_kernel(seed_ref, img_hbm, out_ref, scratch, sem, *,
@@ -284,6 +318,111 @@ def _build_call(kernel, n_tiles: int, tile_h: int, hp: int, w3p: int,
         out_shape=jax.ShapeDtypeStruct((hp, w3p), jnp.float32),
         interpret=interpret,
     )
+
+
+def _sap_median_body(tile, i, tile_h, h, w3, seed, amount, double_filter,
+                     out_ref):
+    """Shared compute body: s&p + median(s) on one halo'd tile."""
+    rows, w3p = tile.shape
+    iy = (i * tile_h - HALO
+          + jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 0))
+    iy = jnp.clip(iy, 0, h - 1)
+    ix = jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 1)
+    ix = jnp.minimum(ix, w3 - 1)
+
+    bits = _hash2d(iy, ix, seed)
+    thresh = (jnp.uint32(int(amount * 4294967296.0)) if amount < 1.0
+              else jnp.uint32(0xFFFFFFFF))
+    flipped = bits < thresh
+    salted = (bits & jnp.uint32(1)) == jnp.uint32(1)
+    noisy = jnp.where(flipped & salted, 255.0, tile)
+    noisy = jnp.where(flipped & ~salted, 0.0, noisy)
+
+    m1 = _median3_tile(noisy, w3)
+    if double_filter:
+        rows1 = m1.shape[0]
+        vr = (i * tile_h - (HALO - 1)
+              + jax.lax.broadcasted_iota(jnp.int32, (rows1, w3p), 0))
+        up = pltpu.roll(m1, shift=rows1 - 1, axis=0)
+        down = pltpu.roll(m1, shift=1, axis=0)
+        m1 = jnp.where(vr == -1, up, m1)
+        m1 = jnp.where(vr == h, down, m1)
+        out_ref[0] = _median3_tile(m1, w3)[HALO - 2:HALO - 2 + tile_h]
+    else:
+        out_ref[0] = m1[HALO - 1:HALO - 1 + tile_h]
+
+
+def _fused_batched_kernel(seed_ref, img_hbm, out_ref, scratch, sems, *,
+                          tile_h: int, n_tiles: int, batch: int, h: int,
+                          w3: int, amount: float, double_filter: bool):
+    """Batch-grid variant with double-buffered input DMA: grid =
+    (batch, n_tiles); while tile k computes, tile k+1's window streams in."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    k = b * n_tiles + i
+    total = batch * n_tiles
+    win = tile_h + 2 * HALO
+    slot = jax.lax.rem(k, 2)
+    nxt_slot = jax.lax.rem(k + 1, 2)
+
+    def dma_for(step, slot_idx):
+        bb = step // n_tiles
+        ii = jax.lax.rem(step, n_tiles)
+        return pltpu.make_async_copy(
+            img_hbm.at[bb, pl.ds(ii * tile_h, win), :],
+            scratch.at[slot_idx], sems.at[slot_idx])
+
+    @pl.when(k == 0)
+    def _():
+        dma_for(0, slot).start()
+
+    @pl.when(k + 1 < total)
+    def _():
+        dma_for(k + 1, nxt_slot).start()
+
+    dma_for(k, slot).wait()
+    _sap_median_body(scratch[slot], i, tile_h, h, w3, seed_ref[b],
+                     amount, double_filter, out_ref)
+
+
+@functools.partial(jax.jit, static_argnames=('amount', 'double_filter',
+                                             'tile_h', 'interpret'))
+def fused_sap_median_batched(images: jnp.ndarray, seeds: jnp.ndarray,
+                             amount: float = 0.4,
+                             double_filter: bool = True,
+                             tile_h: int = 56, interpret: bool = False
+                             ) -> jnp.ndarray:
+    """One pallas_call for the whole batch with DMA/compute overlap.
+    Same semantics as fused_sap_median (tested equal); faster dispatch."""
+    assert tile_h % 8 == 0
+    bsz, h, w, _ = images.shape
+    w3 = w * 3
+    w3p = ((w3 + LANES - 1) // LANES) * LANES
+    n_tiles = (h + tile_h - 1) // tile_h
+    hp = n_tiles * tile_h
+    flat = images.reshape(bsz, h, w3)
+    flat = jnp.pad(flat, ((0, 0), (HALO, hp - h + HALO), (0, w3p - w3)),
+                   mode='edge')
+    kernel = functools.partial(
+        _fused_batched_kernel, tile_h=tile_h, n_tiles=n_tiles, batch=bsz,
+        h=h, w3=w3, amount=amount, double_filter=double_filter)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bsz, n_tiles),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, tile_h, w3p),
+                                   lambda b, i, s: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, tile_h + 2 * HALO, w3p), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hp, w3p), jnp.float32),
+        interpret=interpret,
+    )(seeds.astype(jnp.int32), flat)
+    return out[:, :h, :w3].reshape(bsz, h, w, 3)
 
 
 @functools.partial(jax.jit, static_argnames=('amount', 'double_filter',

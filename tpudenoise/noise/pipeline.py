@@ -149,7 +149,8 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         s = specs[0]
         if (s.kind == Kind.SAP and s.denoise == Denoise.MEDIAN
                 and plan.post_denoise in (Denoise.MEDIAN, Denoise.NONE)):
-            from tpudenoise.noise.pallas_kernels import fused_sap_median
+            from tpudenoise.noise.pallas_kernels import \
+                fused_sap_median_batched
             amount = s.level
             double = plan.post_denoise == Denoise.MEDIAN
 
@@ -157,7 +158,8 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
             def run_sap(key, images):
                 seeds = jax.random.randint(
                     key, (images.shape[0],), 0, 2**31 - 1)
-                return fused_sap_median(images, seeds, amount, double)
+                return fused_sap_median_batched(images, seeds, amount,
+                                                double)
 
             return run_sap
         if (s.kind == Kind.GAUSSIAN and s.denoise == Denoise.GAUS_BLUR
