@@ -32,6 +32,9 @@ def parse_args(argv=None):
                    help='log the TwoNN intrinsic dimension of backbone '
                         'features over the dataset (the reference ID '
                         'study)')
+    p.add_argument('--profile', default=None, metavar='DIR',
+                   help='capture a jax.profiler trace of the eval into '
+                        'DIR (view in TensorBoard/Perfetto)')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None)
     return p.parse_args(argv)
@@ -89,9 +92,11 @@ def main(argv=None):
     params, tag = load_params(model, args.model, args.net,
                               jax.random.PRNGKey(cfg.RNG_SEED))
     weights_name = (args.tag or tag or 'default').replace('/', '_')
-    test_net(model, params, imdb_obj, weights_name, args.noise,
-             max_per_image=args.max_per_image, config=cfg,
-             strict_ref=args.strict_ref, compute_id=args.compute_id)
+    from tpudenoise.utils.profiling import trace
+    with trace(args.profile):
+        test_net(model, params, imdb_obj, weights_name, args.noise,
+                 max_per_image=args.max_per_image, config=cfg,
+                 strict_ref=args.strict_ref, compute_id=args.compute_id)
 
 
 if __name__ == '__main__':

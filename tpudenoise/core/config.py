@@ -137,6 +137,10 @@ def default_config() -> AttrDict:
     # host NMS for the (numpy) eval fallback path instead
     # (ref config.py:270 USE_GPU_NMS selected CUDA vs Cython).
     C.USE_NATIVE_NMS = True
+    # legacy keys kept so reference-era YAML overlays load cleanly; both
+    # are no-ops here (everything is end-to-end on device)
+    C.USE_GPU_NMS = True
+    C.USE_E2E_TF = True
     C.POOLING_MODE = 'crop'
     C.POOLING_SIZE = 7
     C.ANCHOR_SCALES = [8, 16, 32]
