@@ -1,0 +1,55 @@
+"""Batched eval harness must reproduce the sequential harness exactly
+(same per-image PRNG keys, same detections)."""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_rrdata_fixture
+
+
+@pytest.fixture(scope='module')
+def env(tmp_path_factory):
+    root = tmp_path_factory.mktemp('beval')
+    make_rrdata_fixture(root, n_test=5, size=(160, 200))
+    from tpudenoise.core.config import default_config
+    cfg = default_config()
+    cfg.DATA_DIR = str(root)
+    cfg.ROOT_DIR = str(root)
+    cfg.TEST.SCALES = (150,)
+    cfg.TEST.MAX_SIZE = 200
+    cfg.TEST.RPN_PRE_NMS_TOP_N = 256
+    cfg.TEST.RPN_POST_NMS_TOP_N = 64
+    return cfg
+
+
+def test_batched_matches_sequential(env):
+    import jax
+    from tpudenoise.data.voc_like import rrData
+    from tpudenoise.eval.harness import test_net, test_net_batched
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    cfg = env
+    m = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(160, 224))
+
+    d1 = rrData('test', '2021', config=cfg)
+    d1.competition_mode(True)
+    test_net(m, params, d1, 'seq', 'sap_median_var0.4', config=cfg,
+             bucket=(160, 224))
+    d2 = rrData('test', '2021', config=cfg)
+    d2.competition_mode(True)
+    test_net_batched(m, params, d2, 'bat', 'sap_median_var0.4',
+                     eval_batch=3, config=cfg, bucket=(160, 224))
+
+    import pickle
+    import os.path as osp
+    from tpudenoise.core.config import get_output_dir
+    seq = pickle.load(open(osp.join(
+        get_output_dir(d1.name, 'seq', cfg), 'detections.pkl'), 'rb'))
+    bat = pickle.load(open(osp.join(
+        get_output_dir(d2.name, 'bat', cfg), 'detections.pkl'), 'rb'))
+    for cls in range(len(seq)):
+        for i in range(len(seq[cls])):
+            a, b = np.asarray(seq[cls][i]), np.asarray(bat[cls][i])
+            assert a.shape == b.shape, (cls, i, a.shape, b.shape)
+            if a.size:
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)

@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument('--profile', default=None, metavar='DIR',
                    help='capture a jax.profiler trace of the eval into '
                         'DIR (view in TensorBoard/Perfetto)')
+    p.add_argument('--eval-batch', type=int, default=1,
+                   help='>1 evaluates in vmapped batches (same results, '
+                        'full chip occupancy; the reference is strictly '
+                        'one image per step)')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None)
     return p.parse_args(argv)
@@ -94,9 +98,18 @@ def main(argv=None):
     weights_name = (args.tag or tag or 'default').replace('/', '_')
     from tpudenoise.utils.profiling import trace
     with trace(args.profile):
-        test_net(model, params, imdb_obj, weights_name, args.noise,
-                 max_per_image=args.max_per_image, config=cfg,
-                 strict_ref=args.strict_ref, compute_id=args.compute_id)
+        if args.eval_batch > 1:
+            from tpudenoise.eval.harness import test_net_batched
+            test_net_batched(model, params, imdb_obj, weights_name,
+                             args.noise, eval_batch=args.eval_batch,
+                             max_per_image=args.max_per_image, config=cfg,
+                             strict_ref=args.strict_ref,
+                             compute_id=args.compute_id)
+        else:
+            test_net(model, params, imdb_obj, weights_name, args.noise,
+                     max_per_image=args.max_per_image, config=cfg,
+                     strict_ref=args.strict_ref,
+                     compute_id=args.compute_id)
 
 
 if __name__ == '__main__':

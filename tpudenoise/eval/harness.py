@@ -158,6 +158,11 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     det_file = os.path.join(output_dir, 'detections.pkl')
     with open(det_file, 'wb') as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+    _finish_eval(all_boxes, feats, imdb_obj, output_dir)
+    return imdb_obj.evaluate_detections(all_boxes, output_dir)
+
+
+def _finish_eval(all_boxes, feats, imdb_obj, output_dir):
     if feats is not None and len(feats) >= 10:
         from tpudenoise.analysis.twonn import compute_id as twonn_id
         from tpudenoise.utils.logging import get_metrics_logger
@@ -167,4 +172,106 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
         get_metrics_logger().log({'twonn_id_mean': mean_id,
                                   'twonn_id_err': err_id})
     print(f'Evaluating detections (artifacts in {output_dir})')
+
+
+def test_net_batched(model, params, imdb_obj, weights_filename: str,
+                     noise: str, eval_batch: int = 8,
+                     max_per_image: int = 100, thresh: float = 0.0,
+                     config=None, bucket=None, strict_ref: bool = False,
+                     compute_id: bool = False):
+    """Batched evaluation: images grouped by original size (noise runs on
+    the original-resolution batch) and by padded bucket; one vmapped
+    forward + postprocess per chunk.  ~4x fewer dispatches and full MXU
+    occupancy vs the one-image loop — the reference evaluates strictly one
+    image per sess.run (ref test.py:189).
+
+    Results are identical to test_net up to the PRNG stream (noise keys
+    fold per image index, preserved here)."""
+    import cv2
+    from collections import defaultdict
+    from tpudenoise.utils.blob import derive_bucket, prep_im_for_blob
+    C = config or default_cfg
+    np.random.seed(C.RNG_SEED)
+    num_images = imdb_obj.num_images
+    num_classes = imdb_obj.num_classes
+    all_boxes = [[[] for _ in range(num_images)]
+                 for _ in range(num_classes)]
+    feats = [] if compute_id else None
+    output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
+    noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
+    key = jax.random.PRNGKey(C.RNG_SEED)
+    t_size, m_size = C.TEST.SCALES[0], C.TEST.MAX_SIZE
+    timers = {'im_detect': Timer(), 'misc': Timer()}
+
+    fwd = jax.jit(jax.vmap(
+        lambda im, info: model.forward_test(params, im, info)))
+    post = jax.jit(jax.vmap(
+        lambda rois, mask, prob, pred, info: postprocess_detections(
+            rois, mask, prob, pred, info, num_classes, C.TEST.NMS,
+            thresh, max_per_class=max_per_image),
+        in_axes=(0, 0, 0, 0, 0)))
+
+    # group by original size so the noise batch is static-shaped
+    groups = defaultdict(list)
+    for i in range(num_images):
+        import PIL.Image
+        w, h = PIL.Image.open(imdb_obj.image_path_at(i)).size
+        groups[(h, w)].append(i)
+
+    done = 0
+    for (oh, ow), idxs in groups.items():
+        for c0 in range(0, len(idxs), eval_batch):
+            chunk = idxs[c0:c0 + eval_batch]
+            timers['im_detect'].tic()
+            raw = np.stack([cv2.imread(imdb_obj.image_path_at(i))
+                            for i in chunk]).astype(np.float32)
+            # per-image keys identical to the sequential harness
+            noisy = np.asarray(noise_fn(
+                jax.random.fold_in(key, chunk[0]), jnp.asarray(raw))
+                if len(chunk) == 1 else
+                jnp.stack([noise_fn(jax.random.fold_in(key, i),
+                                    jnp.asarray(raw[j:j + 1]))[0]
+                           for j, i in enumerate(chunk)]))
+            imgs, infos = [], []
+            img_bucket = None
+            for j in range(len(chunk)):
+                imf, scale = prep_im_for_blob(
+                    noisy[j], np.asarray(C.PIXEL_MEANS, np.float32),
+                    t_size, m_size)
+                h, w = imf.shape[:2]
+                img_bucket = bucket or derive_bucket(t_size, m_size,
+                                                     portrait=h > w)
+                padded, (ph, pw) = pad_to_bucket(imf, img_bucket)
+                imgs.append(padded)
+                infos.append((ph, pw, scale))
+            imgs = jnp.asarray(np.stack(imgs))
+            infos = jnp.asarray(np.asarray(infos, np.float32))
+            out = fwd(imgs, infos)
+            boxes_c, scores_c, mask_c = post(
+                out['rois'], out['roi_mask'], out['cls_prob'],
+                out['bbox_pred'], infos)
+            timers['im_detect'].toc()
+
+            timers['misc'].tic()
+            bx, sc, mk = (np.asarray(boxes_c), np.asarray(scores_c),
+                          np.asarray(mask_c))
+            if feats is not None:
+                feats.extend(np.asarray(out['feat_pooled']))
+            for j, i in enumerate(chunk):
+                mkj = limit_per_image(bx[j], sc[j], mk[j], max_per_image)
+                for cls in range(1, num_classes):
+                    sel = mkj[cls - 1]
+                    all_boxes[cls][i] = np.hstack(
+                        [bx[j][cls - 1][sel],
+                         sc[j][cls - 1][sel][:, None]]).astype(np.float32)
+            timers['misc'].toc()
+            done += len(chunk)
+            print(f'im_detect: {done:d}/{num_images:d} '
+                  f'{timers["im_detect"].average_time:.3f}s/chunk '
+                  f'{timers["misc"].average_time:.3f}s')
+
+    det_file = os.path.join(output_dir, 'detections.pkl')
+    with open(det_file, 'wb') as f:
+        pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)
+    _finish_eval(all_boxes, feats, imdb_obj, output_dir)
     return imdb_obj.evaluate_detections(all_boxes, output_dir)
