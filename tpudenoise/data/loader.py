@@ -102,11 +102,16 @@ class RoiDataLoader:
         return im, scale
 
     def forward(self):
-        """Next fixed-shape batch (ref layer.py:85-88)."""
+        """Next fixed-shape batch (ref layer.py:85-88).
+
+        Images are uint8 (the resize happens in u8, before device-side
+        noise + mean subtraction) — 4x less host->device traffic than
+        f32; the consumer casts on device.
+        """
         inds = self._next_inds()
         bh, bw = self._bucket
         b = len(inds)
-        images = np.zeros((b, bh, bw, 3), np.float32)
+        images = np.zeros((b, bh, bw, 3), np.uint8)
         im_info = np.zeros((b, 3), np.float32)
         gt_boxes = np.zeros((b, self._max_gt, 5), np.float32)
         gt_mask = np.zeros((b, self._max_gt), bool)
@@ -117,7 +122,7 @@ class RoiDataLoader:
             h, w = im.shape[:2]
             assert h <= bh and w <= bw, \
                 f'image {h}x{w} exceeds bucket {bh}x{bw}'
-            images[j, :h, :w] = im.astype(np.float32)
+            images[j, :h, :w] = im
             im_info[j] = (h, w, scale)
             # gt boxes scaled into the network input frame
             # (ref minibatch.py:66-71)

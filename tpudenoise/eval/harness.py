@@ -222,6 +222,11 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
     for (oh, ow), idxs in groups.items():
         for c0 in range(0, len(idxs), eval_batch):
             chunk = idxs[c0:c0 + eval_batch]
+            n_real = len(chunk)
+            # pad partial chunks by repeating the last index so every
+            # chunk compiles to the same batch shape; padded results are
+            # dropped below
+            chunk = chunk + [chunk[-1]] * (eval_batch - n_real)
             timers['im_detect'].tic()
             raw = np.stack([cv2.imread(imdb_obj.image_path_at(i))
                             for i in chunk]).astype(np.float32)
@@ -256,8 +261,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             bx, sc, mk = (np.asarray(boxes_c), np.asarray(scores_c),
                           np.asarray(mask_c))
             if feats is not None:
-                feats.extend(np.asarray(out['feat_pooled']))
-            for j, i in enumerate(chunk):
+                feats.extend(np.asarray(out['feat_pooled'])[:n_real])
+            for j, i in enumerate(chunk[:n_real]):
                 mkj = limit_per_image(bx[j], sc[j], mk[j], max_per_image)
                 for cls in range(1, num_classes):
                     sel = mkj[cls - 1]
@@ -265,7 +270,7 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                         [bx[j][cls - 1][sel],
                          sc[j][cls - 1][sel][:, None]]).astype(np.float32)
             timers['misc'].toc()
-            done += len(chunk)
+            done += n_real
             print(f'im_detect: {done:d}/{num_images:d} '
                   f'{timers["im_detect"].average_time:.3f}s/chunk '
                   f'{timers["misc"].average_time:.3f}s')

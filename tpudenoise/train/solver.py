@@ -147,8 +147,9 @@ class Solver:
     # --------------------------------------------------------- train ----
 
     def _prep_batch(self, key, batch):
-        """Device noise + mean subtraction on the raw loader batch."""
-        imgs = jnp.asarray(batch['image'])
+        """Device noise + mean subtraction on the raw loader batch.
+        The loader ships uint8; the f32 cast happens after transfer."""
+        imgs = jnp.asarray(batch['image']).astype(jnp.float32)
         noisy = self._noise_fn(key, imgs)
         means = jnp.asarray(np.asarray(self.cfg.PIXEL_MEANS, np.float32))
         batch = dict(batch)
