@@ -90,7 +90,9 @@ def convert_tf_slim_resnet(ckpt_path: str, num_layers: int) -> dict:
     head = {'conv1': {'kernel': _bgr_flip_conv(
                 reader.get_tensor(scope + '/conv1/weights'))},
             'conv1_bn': bn(scope + '/conv1/BatchNorm')}
-    trees = {'head': head, 'tail': {}}
+    # the live tree nests the RoI tail one level deeper (the tail module
+    # is the 'tail' submodule of _TailWithHeads): tail/tail/block4/...
+    trees = {'head': head, 'tail': {'tail': {}}}
     for b in range(1, 5):
         block = {}
         for u in range(1, units[b - 1] + 1):
@@ -105,7 +107,7 @@ def convert_tf_slim_resnet(ckpt_path: str, num_layers: int) -> dict:
                     f'{base}/conv{i}/weights')}
                 unit[f'bn{i}'] = bn(f'{base}/conv{i}/BatchNorm')
             block[f'unit_{u}'] = unit
-        dest = trees['head'] if b < 4 else trees['tail']
+        dest = trees['head'] if b < 4 else trees['tail']['tail']
         dest[f'block{b}'] = block
     return trees
 
@@ -170,7 +172,7 @@ def convert_torch_resnet(state_dict, num_layers: int) -> dict:
     head = {'conv1': {'kernel': _bgr_flip_conv(
                 conv('conv1')['kernel'])},
             'conv1_bn': bn('bn1')}
-    trees = {'head': head, 'tail': {}}
+    trees = {'head': head, 'tail': {'tail': {}}}
     for b in range(1, 5):
         block = {}
         for u in range(units[b - 1]):
@@ -183,6 +185,6 @@ def convert_torch_resnet(state_dict, num_layers: int) -> dict:
                 unit[f'conv{i}'] = conv(f'{base}.conv{i}')
                 unit[f'bn{i}'] = bn(f'{base}.bn{i}')
             block[f'unit_{u + 1}'] = unit
-        dest = trees['head'] if b < 4 else trees['tail']
+        dest = trees['head'] if b < 4 else trees['tail']['tail']
         dest[f'block{b}'] = block
     return trees
