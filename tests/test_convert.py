@@ -113,6 +113,71 @@ def _iter_leaves(tree):
         yield tree
 
 
+def _make_slim_vgg16_ckpt(tmp_path):
+    rng = np.random.RandomState(2)
+    g = tf.Graph()
+    with g.as_default():
+        vs = []
+
+        def var(name, shape):
+            v = tf.compat.v1.get_variable(
+                name, shape,
+                initializer=tf.compat.v1.constant_initializer(
+                    rng.randn(*shape).astype(np.float32) * 0.01))
+            vs.append(v)
+
+        reps = [2, 2, 3, 3, 3]
+        widths = [64, 128, 256, 512, 512]
+        cin = 3
+        for s, (rep, wdt) in enumerate(zip(reps, widths), start=1):
+            for r in range(1, rep + 1):
+                var(f'vgg_16/conv{s}/conv{s}_{r}/weights', (3, 3, cin, wdt))
+                var(f'vgg_16/conv{s}/conv{s}_{r}/biases', (wdt,))
+                cin = wdt
+        var('vgg_16/fc6/weights', (7, 7, 512, 4096))
+        var('vgg_16/fc6/biases', (4096,))
+        var('vgg_16/fc7/weights', (1, 1, 4096, 4096))
+        var('vgg_16/fc7/biases', (4096,))
+        saver = tf.compat.v1.train.Saver(vs)
+        with tf.compat.v1.Session(graph=g) as sess:
+            sess.run(tf.compat.v1.global_variables_initializer())
+            return saver.save(sess, str(tmp_path / 'vgg_16.ckpt'))
+
+
+def test_tf_slim_vgg16_roundtrip(tmp_path):
+    import jax
+    from tpudenoise.models.convert import convert_tf_slim_vgg16
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    from tpudenoise.train.solver import _merge_pretrained
+    ckpt = _make_slim_vgg16_ckpt(tmp_path)
+    pre = convert_tf_slim_vgg16(ckpt)
+    m = FasterRCNN(backbone='vgg16', num_classes=2)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    merged = _merge_pretrained(params, pre)
+    # every converted leaf lands (26 conv + 4 fc leaves)
+    n_pre = len([1 for _ in _iter_leaves(pre)])
+    flat_m = {tuple(str(k) for k in p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(merged)[0]}
+    flat_p = {tuple(str(k) for k in p): v for p, v in
+              jax.tree_util.tree_flatten_with_path(params)[0]}
+    changed = sum(1 for k in flat_m
+                  if not np.array_equal(np.asarray(flat_m[k]),
+                                        np.asarray(flat_p[k])))
+    assert changed == n_pre == 30
+    # fc6 conv->dense reshape: (7,7,512,4096) -> (25088, 4096) flattened
+    # like slim.flatten over the (7,7,512) crop
+    from tensorflow.python.training import py_checkpoint_reader
+    reader = py_checkpoint_reader.NewCheckpointReader(ckpt)
+    fc6 = reader.get_tensor('vgg_16/fc6/weights')
+    np.testing.assert_array_equal(
+        np.asarray(merged['tail']['tail']['fc6']['kernel']),
+        fc6.reshape(-1, 4096))
+    # conv1_1 BGR flip
+    w = reader.get_tensor('vgg_16/conv1/conv1_1/weights')
+    np.testing.assert_array_equal(
+        np.asarray(merged['head']['conv1_1']['kernel']), w[:, :, ::-1, :])
+
+
 def test_torch_resnet_conversion_shapes():
     """Synthetic torchvision-style state dict -> our tree; shape + BGR
     flip checks without needing torchvision."""

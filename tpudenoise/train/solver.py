@@ -246,9 +246,21 @@ def train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
 
 
 def _merge_pretrained(params, pretrained):
-    """Overlay pretrained leaves onto the init tree where paths match."""
+    """Overlay pretrained leaves onto the init tree where paths match.
+
+    Unmatched pretrained keys are loudly reported — a converter emitting
+    wrong names would otherwise silently leave random weights (this
+    exact failure shipped once: block4 under the wrong tail nesting)."""
     flat = dict(jax.tree_util.tree_flatten_with_path(params)[0])
     pre = dict(jax.tree_util.tree_flatten_with_path(pretrained)[0])
+    unmatched = [k for k in pre if k not in flat]
+    if unmatched:
+        names = ['/'.join(str(getattr(p, "key", p)) for p in k)
+                 for k in unmatched[:10]]
+        print(f'WARNING: {len(unmatched)} pretrained entries matched no '
+              f'model parameter and were ignored, e.g. {names}')
+    n_hit = sum(1 for k in pre if k in flat)
+    print(f'Loaded {n_hit}/{len(flat)} parameters from pretrained weights')
     merged = {k: pre.get(k, v) for k, v in flat.items()}
     treedef = jax.tree_util.tree_structure(params)
     return jax.tree_util.tree_unflatten(
