@@ -109,7 +109,9 @@ def make_spatial_filter(mesh: Mesh, kind: str = 'median',
             return _sep3_rows(x, 0.25, 0.5)
         rounder = lambda v: jnp.floor(v + 0.5)  # cv2 half-up (stencils.py)
     else:
-        raise ValueError(kind)
+        raise ValueError(
+            f"unknown spatial filter kind {kind!r}: expected "
+            f"'median', 'mean' or 'gaussian'")
 
     border = 'edge' if kind == 'median' else 'reflect101'
 
