@@ -107,3 +107,26 @@ def test_non_divisible_height():
     noisy = _reference_noisy(imgs, seeds, 0.4)
     want = np.asarray(jax.vmap(lambda im: median3(median3(im)))(noisy))
     np.testing.assert_array_equal(got, want)
+
+
+def test_gauss_per_image_sigma_matches_static_var():
+    """The per-image sigma (scalar-prefetch) path must equal running each
+    image separately with its level as the static var — the randomized
+    gaussian level quirk is per IMAGE (ref test.py:1678-1682)."""
+    import jax.numpy as jnp
+    from tpudenoise.noise.pallas_kernels import fused_gaussian_blur
+    rng = np.random.RandomState(1)
+    imgs = rng.randint(0, 256, (2, 48, 64, 3)).astype(np.float32)
+    seeds = np.asarray([3, 11], np.int32)
+    sig = jnp.sqrt(jnp.asarray([0.1, 1.5], jnp.float32))
+    got = np.asarray(fused_gaussian_blur(
+        imgs, seeds, var=0.1, double_filter=True, tile_h=16,
+        interpret=True, sigmas=sig))
+    want = np.concatenate([
+        np.asarray(fused_gaussian_blur(
+            imgs[:1], seeds[:1], var=0.1, double_filter=True, tile_h=16,
+            interpret=True)),
+        np.asarray(fused_gaussian_blur(
+            imgs[1:], seeds[1:], var=1.5, double_filter=True, tile_h=16,
+            interpret=True))])
+    np.testing.assert_array_equal(got, want)

@@ -96,3 +96,67 @@ def test_curvelet_plan(batch):
     out = np.asarray(fn(KEY, batch))
     assert out.shape == batch.shape
     assert out.min() >= 0 and out.max() <= 255
+
+
+def test_keyed_matches_sequential(batch):
+    """fn.keyed(per-image fold_in keys) must reproduce the sequential
+    harness loop (fn(fold_in(key, i), im[None]) per image) bit-exactly —
+    the single-dispatch batched-eval noise contract."""
+    fn = make_pipeline('speckle_mean_var1.0', mode='TEST')
+    idx = [5, 2, 9, 0]
+    imgs = np.concatenate([batch, batch[::-1]])  # 4 images
+    keys = jax.numpy.stack(
+        [jax.random.fold_in(KEY, i) for i in idx])
+    got = np.asarray(fn.keyed(keys, imgs))
+    want = np.concatenate(
+        [np.asarray(fn(jax.random.fold_in(KEY, i), imgs[j:j + 1]))
+         for j, i in enumerate(idx)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_keyed_matches_sequential_mix(batch):
+    fn = make_pipeline('noise_mix_var_low', mode='TEST')
+    idx = [3, 7]
+    keys = jax.numpy.stack([jax.random.fold_in(KEY, i) for i in idx])
+    got = np.asarray(fn.keyed(keys, batch))
+    want = np.concatenate(
+        [np.asarray(fn(jax.random.fold_in(KEY, i), batch[j:j + 1]))
+         for j, i in enumerate(idx)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_backend_selection():
+    """Production call sites get the fused Pallas kernels on TPU (auto);
+    the plan->backend routing is checked here without executing."""
+    cases = {
+        'sap_median_var0.4': 'pallas:sap_median',
+        'gaussian_gaus_blur_var0.1': 'pallas:gaussian_blur',
+        'speckle_bilateral_var1.0': 'pallas:bilateral_x2',
+        'noise_mix_var_medium_bilateral': 'pallas:bilateral_x1',
+    }
+    for noise, backend in cases.items():
+        fn = make_pipeline(noise, mode='TRAIN', use_pallas=True)
+        assert fn.backend == backend, (noise, fn.backend)
+    assert make_pipeline('sap_median_var0.4',
+                         use_pallas=False).backend == 'xla'
+    # plans the kernels don't cover fall back to XLA even with pallas on
+    assert make_pipeline('speckle_wavelet_var1.0',
+                         use_pallas=True).backend == 'xla'
+
+
+def test_mix_post_denoise_applies(batch):
+    """The standalone post-pass keys off the FULL noise string for mixes
+    too (ref minibatch.py:1636-1663): every image of a
+    'noise_mix_*_bilateral' batch is bilateral-filtered."""
+    from tpudenoise.denoise.stencils import bilateral
+    from tpudenoise.noise.spec import Denoise, parse
+    plan = parse('noise_mix_var_low_bilateral', mode='TRAIN')
+    assert plan.post_denoise == Denoise.BILATERAL
+    fn_plain = make_pipeline('noise_mix_var_low', mode='TRAIN',
+                             use_pallas=False)
+    fn_post = make_pipeline('noise_mix_var_low_bilateral', mode='TRAIN',
+                            use_pallas=False)
+    a = np.asarray(fn_plain(KEY, batch))
+    b = np.asarray(fn_post(KEY, batch))
+    want = np.asarray(jax.vmap(lambda im: bilateral(im))(a))
+    np.testing.assert_array_equal(b, want)

@@ -124,7 +124,7 @@ def bilateral_pallas(images: jnp.ndarray, sigma_color: float = 20.0,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(bsz, n_tiles),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec((1, 3, tile_h, wp),
                                    lambda b, i: (b, 0, i, 0),
                                    memory_space=pltpu.VMEM),

@@ -107,6 +107,7 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
 
     noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
+    print(f'noise pipeline backend: {noise_fn.backend}')
     key = jax.random.PRNGKey(C.RNG_SEED)
     timers = {'im_detect': Timer(), 'misc': Timer()}
     t_size = target_size or C.TEST.SCALES[0]
@@ -199,9 +200,17 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
     feats = [] if compute_id else None
     output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
     noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
+    print(f'noise pipeline backend: {noise_fn.backend}')
     key = jax.random.PRNGKey(C.RNG_SEED)
     t_size, m_size = C.TEST.SCALES[0], C.TEST.MAX_SIZE
     timers = {'im_detect': Timer(), 'misc': Timer()}
+
+    @jax.jit
+    def noise_chunk(k, idx, raw):
+        # ONE device program per chunk: per-image fold_in inside the jit,
+        # bit-identical to the sequential noise_fn(fold_in(k, i), im[None])
+        keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(idx)
+        return noise_fn.keyed(keys, raw)
 
     fwd = jax.jit(jax.vmap(
         lambda im, info: model.forward_test(params, im, info)))
@@ -230,13 +239,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             timers['im_detect'].tic()
             raw = np.stack([cv2.imread(imdb_obj.image_path_at(i))
                             for i in chunk]).astype(np.float32)
-            # per-image keys identical to the sequential harness
-            noisy = np.asarray(noise_fn(
-                jax.random.fold_in(key, chunk[0]), jnp.asarray(raw))
-                if len(chunk) == 1 else
-                jnp.stack([noise_fn(jax.random.fold_in(key, i),
-                                    jnp.asarray(raw[j:j + 1]))[0]
-                           for j, i in enumerate(chunk)]))
+            noisy = np.asarray(noise_chunk(
+                key, jnp.asarray(chunk, jnp.int32), jnp.asarray(raw)))
             imgs, infos = [], []
             img_bucket = None
             for j in range(len(chunk)):

@@ -131,10 +131,14 @@ def _blur3_tile(t: jnp.ndarray, w3: int) -> jnp.ndarray:
     return jnp.floor(out + 0.5)
 
 
-def _gauss_blur_body(tile, i, tile_h, h, w3, seed, var, double_filter,
-                     out_ref):
+def _gauss_blur_body(tile, i, tile_h, h, w3, seed, sigma, apply_noise,
+                     double_filter, out_ref):
     """Gaussian noise (skimage semantics on [0,1], clipped) + uint8 cast +
-    3x3 gaussian blur (x2 for the TRAIN double-filter) on one tile."""
+    3x3 gaussian blur (x2 for the TRAIN double-filter) on one tile.
+
+    sigma is a traced per-image scalar (from the scalar-prefetch array) so
+    the randomized-level quirk (ref test.py:1678-1682) draws per IMAGE, not
+    per batch; apply_noise is the static skip for var == 0."""
     rows, w3p = tile.shape
     iy = (i * tile_h - HALO
           + jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 0))
@@ -145,9 +149,8 @@ def _gauss_blur_body(tile, i, tile_h, h, w3, seed, var, double_filter,
     ix = jax.lax.broadcasted_iota(jnp.int32, (rows, w3p), 1)
     ix = jnp.minimum(ix, w3 - 1)
 
-    sigma = float(var) ** 0.5
-    if var > 0:
-        z = _gauss_from_hash(iy, ix, seed, jnp.float32(sigma))
+    if apply_noise:
+        z = _gauss_from_hash(iy, ix, seed, sigma)
         x01 = tile * jnp.float32(1.0 / 255.0) + z
         noisy = jnp.trunc(jnp.clip(x01, 0.0, 1.0) * 255.0)
     else:
@@ -169,9 +172,10 @@ def _gauss_blur_body(tile, i, tile_h, h, w3, seed, var, double_filter,
         out_ref[0] = b1[HALO - 1:HALO - 1 + tile_h]
 
 
-def _fused_gauss_batched_kernel(seed_ref, img_hbm, out_ref, scratch, sems,
+def _fused_gauss_batched_kernel(seed_ref, sigma_ref, img_hbm, out_ref,
+                                scratch, sems,
                                 *, tile_h: int, n_tiles: int, batch: int,
-                                h: int, w3: int, var: float,
+                                h: int, w3: int, apply_noise: bool,
                                 double_filter: bool):
     """Batch-grid gaussian+blur with double-buffered input DMA."""
     b = pl.program_id(0)
@@ -198,27 +202,32 @@ def _fused_gauss_batched_kernel(seed_ref, img_hbm, out_ref, scratch, sems,
         dma_for(k + 1, nxt_slot).start()
 
     dma_for(k, slot).wait()
-    _gauss_blur_body(scratch[slot], i, tile_h, h, w3, seed_ref[b], var,
-                     double_filter, out_ref)
+    _gauss_blur_body(scratch[slot], i, tile_h, h, w3, seed_ref[b],
+                     sigma_ref[b], apply_noise, double_filter, out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=('var', 'double_filter',
                                              'tile_h', 'interpret'))
 def fused_gaussian_blur(images: jnp.ndarray, seeds: jnp.ndarray,
                         var: float = 0.1, double_filter: bool = True,
-                        tile_h: int = 88, interpret: bool = False
-                        ) -> jnp.ndarray:
+                        tile_h: int = 88, interpret: bool = False,
+                        sigmas: jnp.ndarray | None = None) -> jnp.ndarray:
     """Fused gaussian noise + GaussianBlur3 (x2) in one HBM pass — the
     BASELINE.json config-1 path ('gaussian_gaus_blur_varX').
 
     images: (B, H, W, 3) f32 u8-domain.  Noise follows skimage
     random_noise semantics (add N(0, var) in [0,1], clip, cast); the blur
-    pair matches cv2 bit-exactly given the same noise.  Note: the
-    pipeline's gaussian level randomization (spec.is_random_level) is the
-    caller's job — pass a concrete var.
+    pair matches cv2 bit-exactly given the same noise.
+
+    sigmas: optional (B,) f32 per-image noise std — pass
+    sqrt(level) drawn per image for the randomized-level quirk
+    (ref test.py:1678-1682); overrides `var`.
     """
     assert tile_h % 8 == 0
     bsz, h, w, _ = images.shape
+    apply_noise = sigmas is not None or var > 0
+    if sigmas is None:
+        sigmas = jnp.full((bsz,), float(var) ** 0.5, jnp.float32)
     w3 = w * 3
     w3p = ((w3 + LANES - 1) // LANES) * LANES
     n_tiles = (h + tile_h - 1) // tile_h
@@ -230,15 +239,16 @@ def fused_gaussian_blur(images: jnp.ndarray, seeds: jnp.ndarray,
                    mode='reflect')
     kernel = functools.partial(
         _fused_gauss_batched_kernel, tile_h=tile_h, n_tiles=n_tiles,
-        batch=bsz, h=h, w3=w3, var=var, double_filter=double_filter)
+        batch=bsz, h=h, w3=w3, apply_noise=apply_noise,
+        double_filter=double_filter)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(bsz, n_tiles),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec((1, tile_h, w3p),
-                                   lambda b, i, s: (b, i, 0),
+                                   lambda b, i, s, sg: (b, i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, tile_h + 2 * HALO, w3p), jnp.float32),
@@ -246,7 +256,7 @@ def fused_gaussian_blur(images: jnp.ndarray, seeds: jnp.ndarray,
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, hp, w3p), jnp.float32),
         interpret=interpret,
-    )(seeds.astype(jnp.int32), flat)
+    )(seeds.astype(jnp.int32), sigmas.astype(jnp.float32), flat)
     return out[:, :h, :w3].reshape(bsz, h, w, 3)
 
 
@@ -308,7 +318,7 @@ def _build_call(kernel, n_tiles: int, tile_h: int, hp: int, w3p: int,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_tiles,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec((tile_h, w3p), lambda i, s: (i, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
@@ -411,7 +421,7 @@ def fused_sap_median_batched(images: jnp.ndarray, seeds: jnp.ndarray,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bsz, n_tiles),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec((1, tile_h, w3p),
                                    lambda b, i, s: (b, i, 0),
                                    memory_space=pltpu.VMEM),

@@ -131,16 +131,61 @@ def apply_post(denoise: Denoise, img: jnp.ndarray,
     return _FILTERS[denoise](img, not unit_float)
 
 
+def _pallas_bilateral_pipeline(specs, n_stages: int):
+    """Noise in the XLA program (vmapped, per-image lax.switch for mixes);
+    each bilateral stage (generator `_bilateral` variant and/or standalone
+    post-pass, ref minibatch.py:1636-1663) as ONE batched Pallas HBM pass
+    over the whole batch instead of a per-image 9x9 stencil chain."""
+    import dataclasses
+    from tpudenoise.denoise.pallas_bilateral import bilateral_pallas
+    stripped = tuple(dataclasses.replace(s, denoise=Denoise.NONE)
+                     if s.denoise == Denoise.BILATERAL else s
+                     for s in specs)
+
+    def noisy_one(key, img):
+        if len(stripped) == 1:
+            return apply_spec(stripped[0], key, img)
+        kc, ka = jax.random.split(key)
+        idx = jax.random.randint(kc, (), 0, len(stripped))
+        branches = [functools.partial(apply_spec, s) for s in stripped]
+        return jax.lax.switch(idx, branches, ka, img)
+
+    @jax.jit
+    def run(key, images):
+        keys = jax.random.split(key, images.shape[0])
+        out = jax.vmap(noisy_one)(keys, images)
+        for _ in range(n_stages):
+            out = bilateral_pallas(out)
+        return out
+
+    @jax.jit
+    def run_keyed(keys, images):
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+        out = jax.vmap(noisy_one)(ks, images)
+        for _ in range(n_stages):
+            out = bilateral_pallas(out)
+        return out
+
+    run.keyed = run_keyed
+    run.backend = f'pallas:bilateral_x{n_stages}'
+    return run
+
+
 def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
-                  strict_ref: bool = False, use_pallas: bool = False):
+                  strict_ref: bool = False,
+                  use_pallas: bool | None = None):
     """Build `fn(key, images) -> images` for a parsed plan (or raw noise
     string).  images: (B, H, W, 3) float32 u8-domain BGR.  The returned fn
     is jitted and vmapped over the batch; per-image PRNG via fold_in.
 
-    use_pallas=True swaps in the single-HBM-pass fused Pallas kernel for
-    the plans it covers (currently sap+median); the RNG stream differs
-    (coordinate hash vs threefry) with identical statistics.
+    use_pallas swaps in the single-HBM-pass fused Pallas kernels for the
+    plans they cover (sap+median, gaussian+blur, any bilateral stage); the
+    RNG stream differs (coordinate hash vs threefry) with identical
+    statistics.  Default None = auto: Pallas on TPU, XLA elsewhere — this
+    is what the production call sites (Solver, eval harness) use.
     """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
     if isinstance(plan, str):
         plan = parse(plan, mode=mode, strict_ref=strict_ref)
     specs = plan.specs
@@ -161,6 +206,17 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                 return fused_sap_median_batched(images, seeds, amount,
                                                 double)
 
+            @jax.jit
+            def run_sap_keyed(keys, images):
+                # one seed per per-image key, drawn exactly as a B=1 run
+                # would (shape (1,)) so batched == sequential bit-exact
+                seeds = jax.vmap(lambda k: jax.random.randint(
+                    k, (1,), 0, 2**31 - 1)[0])(keys)
+                return fused_sap_median_batched(images, seeds, amount,
+                                                double)
+
+            run_sap.keyed = run_sap_keyed
+            run_sap.backend = 'pallas:sap_median'
             return run_sap
         if (s.kind == Kind.GAUSSIAN and s.denoise == Denoise.GAUS_BLUR
                 and plan.post_denoise in (Denoise.GAUS_BLUR,
@@ -170,24 +226,65 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
             levels = (GAUSSIAN_RANDOM_LEVELS if s.is_random_level
                       else [s.level])
 
+            def _gauss_impl(seeds, sigmas, images):
+                if sigmas is None:
+                    return fused_gaussian_blur(images, seeds, levels[0],
+                                               double)
+                return fused_gaussian_blur(images, seeds, levels[0],
+                                           double, sigmas=sigmas)
+
+            lvl_arr = jnp.sqrt(jnp.asarray(levels, jnp.float32))
+
             @jax.jit
             def run_gauss(key, images):
                 k1, k2 = jax.random.split(key)
                 seeds = jax.random.randint(
                     k1, (images.shape[0],), 0, 2**31 - 1)
                 if len(levels) == 1:
-                    return fused_gaussian_blur(images, seeds, levels[0],
-                                               double)
-                # randomized gaussian level quirk: one level per batch
-                # draw (the per-image randomization of the XLA path is
-                # approximated batch-wise in the fused kernel)
-                idx = jax.random.randint(k2, (), 0, len(levels))
-                branches = [
-                    (lambda im, sd, v=v: fused_gaussian_blur(
-                        im, sd, v, double)) for v in levels]
-                return jax.lax.switch(idx, branches, images, seeds)
+                    return _gauss_impl(seeds, None, images)
+                # randomized gaussian level quirk, drawn PER IMAGE like
+                # the XLA path (ref test.py:1678-1682): the per-image
+                # sigma rides the scalar-prefetch array into the kernel
+                idx = jax.random.randint(k2, (images.shape[0],), 0,
+                                         len(levels))
+                return _gauss_impl(seeds, lvl_arr[idx], images)
 
+            @jax.jit
+            def run_gauss_keyed(keys, images):
+                def draws(k):
+                    k1, k2 = jax.random.split(k)
+                    seed = jax.random.randint(k1, (1,), 0, 2**31 - 1)[0]
+                    idx = jax.random.randint(k2, (1,), 0, len(levels))[0]
+                    return seed, idx
+                seeds, idx = jax.vmap(draws)(keys)
+                if len(levels) == 1:
+                    return _gauss_impl(seeds, None, images)
+                return _gauss_impl(seeds, lvl_arr[idx], images)
+
+            run_gauss.keyed = run_gauss_keyed
+            run_gauss.backend = 'pallas:gaussian_blur'
             return run_gauss
+
+        # batched Pallas bilateral: covers any single-spec plan whose only
+        # denoise stages are bilateral (the generator's `_bilateral`
+        # variant and/or the standalone post-pass) — the noise itself runs
+        # in the XLA program, the 9x9 stencil in one HBM pass per stage
+        bilateral_stages = ((1 if s.denoise == Denoise.BILATERAL else 0)
+                            + (1 if plan.post_denoise == Denoise.BILATERAL
+                               else 0))
+        if (bilateral_stages and s.denoise in (Denoise.NONE,
+                                               Denoise.BILATERAL)
+                and plan.post_denoise in (Denoise.NONE,
+                                          Denoise.BILATERAL)):
+            return _pallas_bilateral_pipeline((s,), bilateral_stages)
+
+    if use_pallas and len(specs) > 1:
+        # mixed-noise batch + bilateral post-pass (BASELINE.json config 3
+        # shape): per-image lax.switch over generators, then the batched
+        # Pallas bilateral once over the whole mixed batch
+        if (plan.post_denoise == Denoise.BILATERAL
+                and all(s.denoise == Denoise.NONE for s in specs)):
+            return _pallas_bilateral_pipeline(specs, 1)
     unit_float = all(s.unit_float_output for s in specs)
 
     def one_image(key, img):
@@ -205,4 +302,14 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         keys = jax.random.split(key, images.shape[0])
         return jax.vmap(one_image)(keys, images)
 
+    @jax.jit
+    def run_keyed(keys, images):
+        # per-image keys (e.g. fold_in(key, image_index) from the batched
+        # eval harness); reproduce the B=1 run() stream exactly:
+        # split(k, 1)[0] per image
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+        return jax.vmap(one_image)(ks, images)
+
+    run.keyed = run_keyed
+    run.backend = 'xla'
     return run

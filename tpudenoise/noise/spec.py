@@ -263,7 +263,6 @@ def parse(noise: str, mode: str = 'TEST',
       the README contract.
     """
     noise = noise or 'original'
-    post = Denoise.NONE
     if 'mix' in noise:
         table = TRAIN_MIX if mode == 'TRAIN' else TEST_MIX
         for key in ('var_low', 'var_medium', 'var_high', 'var_all'):
@@ -279,6 +278,15 @@ def parse(noise: str, mode: str = 'TEST',
                     and s.kind == Kind.BLOOM):
                 s = NoiseSpec(Kind.SHADER)  # minibatch.py:1572-1573 quirk
             specs.append(s)
+        # the standalone post-pass keys off the FULL noise string in the
+        # reference, mix or not (minibatch.py:1636-1663; TEST: wavelet
+        # only, test.py:1787-1819) — e.g. 'noise_mix_var_medium_bilateral'
+        # bilateral-filters every mixed image
+        if not strict_ref or mode == 'TRAIN':
+            post = _parse_denoise(noise)
+        else:
+            post = (Denoise.WAVELET if 'wavelet' in noise
+                    else Denoise.NONE)
         return NoisePlan(tuple(specs), post_denoise=post, raw=noise)
 
     if 'curvelet' in noise:

@@ -63,8 +63,10 @@ class Solver:
         self.logger = MetricsLogger(logdir=tb_dir)
 
         # fused on-device noise for the TRAIN pipeline semantics
+        # (use_pallas auto: fused Pallas kernels on TPU, XLA elsewhere)
         self._noise_fn = make_pipeline(
             parse_noise(noise, mode='TRAIN'), mode='TRAIN')
+        print(f'noise pipeline backend: {self._noise_fn.backend}')
         self._init_state_fn, self._step_fn = make_train_step(
             model, self.cfg)
 
