@@ -34,17 +34,20 @@ def main():
     from tpudenoise.noise.pallas_kernels import fused_sap_median_batched
 
     rng = np.random.RandomState(3)
+    # uint8 batches: what the loader actually ships to device (4x fewer
+    # HBM bytes each way than f32; kernel compute is f32 in registers and
+    # bit-identical — tests/test_pallas.py::test_u8_io_matches_f32)
     images = jax.device_put(jnp.asarray(
-        rng.randint(0, 256, (BATCH, H, W, 3)).astype(np.float32)))
+        rng.randint(0, 256, (BATCH, H, W, 3)).astype(np.uint8)))
     seeds = jnp.arange(BATCH, dtype=jnp.int32)
 
     @jax.jit
     def run_many(images, seeds):
         def step(c, i):
             out = fused_sap_median_batched(images, seeds + i, amount=0.4,
-                                           double_filter=True, tile_h=56)
+                                           double_filter=True, tile_h=120)
             # fold the output into a running checksum so no step is DCE'd
-            return c + jnp.sum(out[0, ::97, ::89]), None
+            return c + jnp.sum(out[0, ::97, ::89].astype(jnp.float32)), None
         c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(INNER))
         return c
 

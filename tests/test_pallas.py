@@ -130,3 +130,28 @@ def test_gauss_per_image_sigma_matches_static_var():
             imgs[1:], seeds[1:], var=1.5, double_filter=True, tile_h=16,
             interpret=True))])
     np.testing.assert_array_equal(got, want)
+
+
+def test_u8_io_matches_f32(imgs):
+    """uint8-I/O kernels (what the production pipeline and bench run) must
+    be bit-identical to the f32 path: compute is f32 in registers either
+    way, only the DMA dtype differs."""
+    from tpudenoise.noise.pallas_kernels import (fused_gaussian_blur,
+                                                 fused_sap_median_batched)
+    seeds = np.asarray([7, 42], np.int32)
+    f32 = np.asarray(fused_sap_median_batched(
+        imgs, seeds, 0.4, True, tile_h=16, interpret=True))
+    u8 = np.asarray(fused_sap_median_batched(
+        imgs.astype(np.uint8), seeds, 0.4, True, tile_h=16,
+        interpret=True))
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(f32, u8.astype(np.float32))
+
+    f32g = np.asarray(fused_gaussian_blur(
+        imgs, seeds, var=0.1, double_filter=True, tile_h=16,
+        interpret=True))
+    u8g = np.asarray(fused_gaussian_blur(
+        imgs.astype(np.uint8), seeds, var=0.1, double_filter=True,
+        tile_h=16, interpret=True))
+    assert u8g.dtype == np.uint8
+    np.testing.assert_array_equal(f32g, u8g.astype(np.float32))
