@@ -53,3 +53,24 @@ def test_batched_matches_sequential(env):
             assert a.shape == b.shape, (cls, i, a.shape, b.shape)
             if a.size:
                 np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+
+def test_compute_id_per_layer_eval(env, capsys):
+    """--compute-id collects per-probe features through the eval loop and
+    prints one ID line per probe layer (ref test.py:1919-2218 study)."""
+    import jax
+    from tpudenoise.analysis.twonn import PROBES
+    from tpudenoise.data.voc_like import rrData
+    from tpudenoise.eval.harness import test_net_batched
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    cfg = env
+    m = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(160, 224))
+    d = rrData('test', '2021', config=cfg)
+    d.competition_mode(True)
+    test_net_batched(m, params, d, 'idrun', 'original', eval_batch=5,
+                     config=cfg, bucket=(160, 224), compute_id=True)
+    outp = capsys.readouterr().out
+    # fixture has 5 images (< the 10-image floor) -> study skipped cleanly;
+    # the probe collection itself must have run without error
+    assert 'Evaluating detections' in outp

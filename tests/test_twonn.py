@@ -41,3 +41,50 @@ def test_estimate_handles_duplicates():
     d, n_good = estimate_from_dist(np.asarray(dist))
     assert int(n_good) <= 98
     assert 1.0 < float(d) < 6.0
+
+
+def test_backbone_probe_features_vgg():
+    """Per-layer probes (the reference ID study's tensors,
+    ref test.py:1919-2218): every vgg probe + 'head' comes back as one
+    grid-pooled vector per image with the probe layer's channel count."""
+    import jax
+    from tpudenoise.analysis.twonn import PROBES, make_probe_fn
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    m = FasterRCNN(backbone='vgg16', num_classes=2)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    fn = make_probe_fn(m, grid=2)
+    imgs = np.random.RandomState(0).randn(3, 64, 96, 3).astype(np.float32)
+    feats = fn(params, imgs)
+    assert set(feats) == set(PROBES['vgg16']) | {'head'}
+    widths = {'conv1_1': 64, 'conv1_2': 64, 'conv2_2': 128, 'conv3_3': 256,
+              'conv4_3': 512, 'conv5_3': 512, 'head': 512}
+    for p, v in feats.items():
+        assert np.asarray(v).shape == (3, 4 * widths[p]), p
+        assert np.isfinite(np.asarray(v)).all(), p
+
+
+def test_backbone_probe_features_res50():
+    import jax
+    from tpudenoise.analysis.twonn import PROBES, make_probe_fn
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    m = FasterRCNN(backbone='res50', num_classes=2)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    fn = make_probe_fn(m, grid=2)
+    imgs = np.random.RandomState(1).randn(2, 64, 96, 3).astype(np.float32)
+    feats = fn(params, imgs)
+    assert set(feats) == set(PROBES['res50']) | {'head'}
+    # bottleneck conv3 widths: block1=256, block2=512, block3=1024
+    assert np.asarray(feats['block1/unit_1/conv3']).shape == (2, 4 * 256)
+    assert np.asarray(feats['block2/unit_4/conv3']).shape == (2, 4 * 512)
+    assert np.asarray(feats['block3/unit_4/conv3']).shape == (2, 4 * 1024)
+
+
+def test_per_layer_id_runs():
+    from tpudenoise.analysis.twonn import per_layer_id
+    rng = np.random.RandomState(4)
+    feats = {'a': rng.randn(60, 16).astype(np.float32),
+             'b': rng.randn(60, 32).astype(np.float32)}
+    ids = per_layer_id(feats, nres=3)
+    assert set(ids) == {'a', 'b'}
+    for mean, err in ids.values():
+        assert np.isfinite(mean) and np.isfinite(err)

@@ -87,20 +87,94 @@ def compute_id(activations, nres: int = 20, fraction: float = 0.9,
     return float(np.mean(ids)), float(np.std(ids))
 
 
-# named backbone probe points matching the activations the reference's
-# commented ID study samples per net (ref lib/model/test.py:1919-2218)
-RESNET_PROBES = ['conv1', 'block1', 'block2', 'block3', 'block4']
-VGG_PROBES = [f'conv{i}_last' for i in range(1, 6)] + ['fc6', 'fc7']
+# Named backbone probe points matching the activations the reference's ID
+# study samples per net (ref lib/model/test.py:1919-2218): the conv3 output
+# of specific bottleneck units for resnets, specific conv layers for vgg16
+# (the reference grabs the raw Conv2D outputs via get_tensor_by_name).
+# mobile has no reference probe list; evenly-spaced pointwise convs stand in.
+PROBES = {
+    'res101': ['block1/unit_1/conv3', 'block2/unit_1/conv3',
+               'block2/unit_4/conv3', 'block3/unit_8/conv3',
+               'block3/unit_11/conv3', 'block3/unit_14/conv3',
+               'block3/unit_17/conv3', 'block3/unit_20/conv3',
+               'block3/unit_23/conv3'],
+    'res50': ['block1/unit_1/conv3', 'block1/unit_3/conv3',
+              'block2/unit_1/conv3', 'block2/unit_2/conv3',
+              'block2/unit_3/conv3', 'block2/unit_4/conv3',
+              'block3/unit_3/conv3', 'block3/unit_4/conv3'],
+    # res152 has no reference list (study covers 50/101/vgg); the res101
+    # probes are valid unit indices for 152 and keep curves comparable
+    'res152': ['block1/unit_1/conv3', 'block2/unit_1/conv3',
+               'block2/unit_4/conv3', 'block3/unit_8/conv3',
+               'block3/unit_11/conv3', 'block3/unit_14/conv3',
+               'block3/unit_17/conv3', 'block3/unit_20/conv3',
+               'block3/unit_23/conv3'],
+    'vgg16': ['conv1_1', 'conv1_2', 'conv2_2', 'conv3_3', 'conv4_3',
+              'conv5_3'],
+    'mobile': ['layer_1/pointwise', 'layer_3/pointwise',
+               'layer_5/pointwise', 'layer_7/pointwise',
+               'layer_9/pointwise', 'layer_11/pointwise'],
+}
+
+
+def _grid_pool(feat: jnp.ndarray, grid: int) -> jnp.ndarray:
+    """(H, W, C) -> (grid*grid*C,) adaptive average pooling: keeps coarse
+    spatial structure while bounding the feature dim (the reference
+    flattens full conv maps, feat.reshape(shape[0], -1), which is
+    intractable to store across a dataset — documented deviation)."""
+    h, w, _ = feat.shape
+    hb = np.linspace(0, h, grid + 1).astype(int)
+    wb = np.linspace(0, w, grid + 1).astype(int)
+    cells = [feat[hb[i]:hb[i + 1], wb[j]:wb[j + 1]].mean(axis=(0, 1))
+             for i in range(grid) for j in range(grid)]
+    return jnp.concatenate(cells).astype(jnp.float32)
+
+
+def make_probe_fn(model, grid: int = 4):
+    """Jitted per-layer activation collector for the ID study.
+
+    Returns fn(params, images (B,H,W,3) preprocessed) ->
+    {probe: (B, grid*grid*C_probe)} for every probe in
+    PROBES[model.backbone] plus 'head' (the stride-16 feature map).
+    Activations are captured with flax capture_intermediates — the JAX
+    analogue of the reference's graph.get_tensor_by_name + sess.run per
+    probe (test.py:1919-2218), in ONE forward instead of one per probe.
+    """
+    probes = PROBES.get(model.backbone, [])
+    leaf = {p.split('/')[-1] for p in probes}
+
+    def run(params, images):
+        feat, state = model.head_mod.apply(
+            {'params': params['head']}, images,
+            capture_intermediates=lambda mdl, _: mdl.name in leaf,
+            mutable=['intermediates'])
+        inter = state['intermediates']
+        out = {}
+        for p in probes:
+            node = inter
+            for part in p.split('/'):
+                node = node[part]
+            arr = node['__call__'][0]
+            out[p] = jax.vmap(lambda f: _grid_pool(f, grid))(arr)
+        out['head'] = jax.vmap(lambda f: _grid_pool(f, grid))(feat)
+        return out
+
+    return jax.jit(run)
+
+
+def per_layer_id(feats: dict, nres: int = 10, seed: int = 0) -> dict:
+    """{probe: (N, D) stacked features} -> {probe: (mean_id, std_id)},
+    ordered like PROBES (shallow -> deep) with 'head' last."""
+    return {p: compute_id(np.asarray(v), nres=nres, seed=seed)
+            for p, v in feats.items()}
 
 
 def backbone_intrinsic_dim(model, params, images, probes=None,
-                           nres: int = 5):
-    """Run the backbone over a batch and estimate the ID of the pooled
-    activations at each probe (global-average-pooled feature vectors, one
-    per image — the ID study's per-layer representation)."""
-    import jax.numpy as jnp
-    feats = model.head_mod.apply({'params': params['head']},
-                                 jnp.asarray(images))
-    pooled = np.asarray(jnp.mean(feats, axis=(1, 2)))
-    mean, err = compute_id(pooled, nres=nres)
-    return {'head': (mean, err)}
+                           nres: int = 5, grid: int = 4):
+    """Run the backbone over a batch and estimate the per-layer TwoNN ID
+    at every probe point (+ 'head').  Returns {probe: (mean, err)}."""
+    fn = make_probe_fn(model, grid=grid)
+    feats = fn(params, jnp.asarray(images))
+    if probes is not None:
+        feats = {p: v for p, v in feats.items() if p in probes}
+    return per_layer_id(feats, nres=nres)

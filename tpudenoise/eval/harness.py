@@ -87,9 +87,11 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     geometry (landscape (s, m) / portrait (m, s)) — at most two compiled
     programs regardless of dataset shapes.
 
-    compute_id=True additionally collects pooled backbone activations per
-    image and logs the TwoNN intrinsic dimension of the representation
-    (the reference's ID study, test.py:1919-2218 + wandb log).
+    compute_id=True additionally collects per-layer backbone activations
+    (the probe points of the reference's ID study, test.py:1919-2218 —
+    specific bottleneck conv3 / vgg conv outputs) for every image and logs
+    the TwoNN intrinsic dimension per probe.  Costs one extra backbone
+    forward per image (the reference re-ran sess.run once PER PROBE).
 
     Note: noise is synthesized at the ORIGINAL image resolution (reference
     order, test.py:189-1831), so the fused noise program recompiles per
@@ -103,7 +105,11 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     num_classes = imdb_obj.num_classes
     all_boxes = [[[] for _ in range(num_images)]
                  for _ in range(num_classes)]
-    feats = [] if compute_id else None
+    probe_fn, feats = None, None
+    if compute_id:
+        from tpudenoise.analysis.twonn import make_probe_fn
+        probe_fn = make_probe_fn(model)
+        feats = {}
     output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
 
     noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
@@ -138,7 +144,8 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
         timers['im_detect'].toc()
 
         if feats is not None:
-            feats.append(np.asarray(out['feat_pooled']))
+            for p, v in probe_fn(params, jnp.asarray(padded)[None]).items():
+                feats.setdefault(p, []).append(np.asarray(v[0]))
 
         timers['misc'].tic()
         bx = np.asarray(boxes_c)
@@ -164,14 +171,18 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
 
 
 def _finish_eval(all_boxes, feats, imdb_obj, output_dir):
-    if feats is not None and len(feats) >= 10:
-        from tpudenoise.analysis.twonn import compute_id as twonn_id
+    if feats and len(next(iter(feats.values()))) >= 10:
+        from tpudenoise.analysis.twonn import per_layer_id
         from tpudenoise.utils.logging import get_metrics_logger
-        mean_id, err_id = twonn_id(np.stack(feats), nres=10)
-        print(f'TwoNN intrinsic dimension of backbone features: '
-              f'{mean_id:.2f} +/- {err_id:.2f}')
-        get_metrics_logger().log({'twonn_id_mean': mean_id,
-                                  'twonn_id_err': err_id})
+        ids = per_layer_id({p: np.stack(v) for p, v in feats.items()},
+                           nres=10)
+        print('TwoNN intrinsic dimension per probe layer:')
+        logs = {}
+        for p, (mean_id, err_id) in ids.items():
+            print(f'  {p:28s} {mean_id:6.2f} +/- {err_id:.2f}')
+            logs[f'twonn_id/{p}'] = mean_id
+            logs[f'twonn_id_err/{p}'] = err_id
+        get_metrics_logger().log(logs)
     print(f'Evaluating detections (artifacts in {output_dir})')
 
 
@@ -197,7 +208,11 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
     num_classes = imdb_obj.num_classes
     all_boxes = [[[] for _ in range(num_images)]
                  for _ in range(num_classes)]
-    feats = [] if compute_id else None
+    probe_fn, feats = None, None
+    if compute_id:
+        from tpudenoise.analysis.twonn import make_probe_fn
+        probe_fn = make_probe_fn(model)
+        feats = {}
     output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
     noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
     print(f'noise pipeline backend: {noise_fn.backend}')
@@ -265,7 +280,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             bx, sc, mk = (np.asarray(boxes_c), np.asarray(scores_c),
                           np.asarray(mask_c))
             if feats is not None:
-                feats.extend(np.asarray(out['feat_pooled'])[:n_real])
+                for p, v in probe_fn(params, imgs).items():
+                    feats.setdefault(p, []).extend(np.asarray(v)[:n_real])
             for j, i in enumerate(chunk[:n_real]):
                 mkj = limit_per_image(bx[j], sc[j], mk[j], max_per_image)
                 for cls in range(1, num_classes):
