@@ -1,8 +1,8 @@
-"""COCO dataset via pycocotools (ref lib/datasets/coco.py:27-316).
+"""COCO dataset (ref lib/datasets/coco.py:27-316).
 
-pycocotools is not baked into this environment — the factory only registers
-COCO names when it imports; this module keeps the same roidb/eval contract
-so the dataset lights up wherever the COCO API is installed.
+Uses pycocotools when installed; otherwise falls back to the in-repo
+minimal COCO API (tpudenoise.data.coco_api — same method contract plus a
+bbox COCOeval), so the dataset works everywhere.
 """
 
 from __future__ import annotations
@@ -18,7 +18,10 @@ from tpudenoise.data.imdb import imdb
 class coco(imdb):
     def __init__(self, image_set, year, config=None):
         super().__init__(f'coco_{year}_{image_set}', config=config)
-        from pycocotools.coco import COCO
+        try:
+            from pycocotools.coco import COCO
+        except ImportError:
+            from tpudenoise.data.coco_api import COCO
         self._year = year
         self._image_set = image_set
         self._data_path = osp.join(self._cfg.DATA_DIR, 'coco')
@@ -125,7 +128,10 @@ class coco(imdb):
             json.dump(results, f)
 
     def _do_detection_eval(self, res_file, output_dir):
-        from pycocotools.cocoeval import COCOeval
+        try:
+            from pycocotools.cocoeval import COCOeval
+        except ImportError:
+            from tpudenoise.data.coco_api import COCOeval
         coco_dt = self._COCO.loadRes(res_file)
         coco_eval = COCOeval(self._COCO, coco_dt, 'bbox')
         coco_eval.evaluate()

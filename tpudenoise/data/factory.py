@@ -1,6 +1,7 @@
 """Dataset name -> constructor registry (ref lib/datasets/factory.py:21-57):
 voc_{2007,2012}_{train,val,trainval,test}, rrData_2021_{train,val,trainval,
-test}, coco_{2014,2015}_* (gated on pycocotools availability)."""
+test}, coco_{2014,2015}_* (pycocotools when installed, else the in-repo
+minimal COCO API)."""
 
 from __future__ import annotations
 
@@ -22,10 +23,6 @@ for year in ['2021']:
 
 
 def _register_coco():
-    try:
-        import pycocotools  # noqa: F401
-    except ImportError:
-        return
     from tpudenoise.data.coco import coco
     for year in ['2014']:
         for split in ['train', 'val', 'minival', 'valminusminival']:
