@@ -1,7 +1,9 @@
 """Demo CLI (ref tools/demo.py:114-156): minimal end-to-end inference on
 images with box rendering to output.png — the reference's smallest e2e
-slice (SURVEY.md §3.4).  Accepts arbitrary --images; synthesizes one demo
-image when none are given so the path is runnable out of the box."""
+slice (SURVEY.md §3.4).  Accepts arbitrary --images; when none are given,
+runs on the bundled real photos in data/demo/ (the reference's five demo
+JPEGs — real images catch channel-order/scaling bugs synthetic gradients
+cannot), falling back to one synthesized image if the assets are absent."""
 
 from __future__ import annotations
 
@@ -58,7 +60,14 @@ def main(argv=None):
     params, _ = load_params(model, args.model, args.net,
                             jax.random.PRNGKey(cfg.RNG_SEED))
 
-    images = args.images or [_demo_image('/tmp/tpudenoise_demo.jpg')]
+    images = args.images
+    if not images:
+        import glob
+        demo_dir = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__)))), 'data', 'demo')
+        images = sorted(glob.glob(os.path.join(demo_dir, '*.jpg')))
+    if not images:
+        images = [_demo_image('/tmp/tpudenoise_demo.jpg')]
     noise_fn = make_pipeline(args.noise, mode='TEST')
     key = jax.random.PRNGKey(cfg.RNG_SEED)
 
