@@ -1,6 +1,11 @@
 """Benchmark: fused noise+denoise throughput on device.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Default: prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}
+for the headline config (BASELINE.json config 2: s&p + median over batched
+600x1000 tensors).  `--full` additionally prints one line per extra
+config: config 1 (gaussian + gaussian-blur, fused Pallas) and config 3
+(mixed-noise batches with a bilateral / wavelet denoise post-pass).
+
 Baseline: the driver's north-star >5,000 600x1000 images/sec/chip for the
 fused noise+denoise pipeline on TPU v5e (BASELINE.md).  The reference runs
 this per image on the host (cv2 + skimage + sklearn, single image per
@@ -8,9 +13,9 @@ iteration) and publishes no throughput (BASELINE.json "published": {}).
 
 Methodology: the per-dispatch tunnel overhead in this environment is
 ~31 ms regardless of batch size, so the pipeline is applied `INNER` times
-inside one jit (lax.scan with per-step key folding) over a `BATCH`-image
-tensor — one dispatch measures INNER*BATCH images of pure device work,
-which is what "images/sec/chip" means in production.
+inside one jit (lax.scan with per-step key/seed folding) over a
+`BATCH`-image tensor — one dispatch measures INNER*BATCH images of pure
+device work, which is what "images/sec/chip" means in production.
 """
 
 import json
@@ -25,50 +30,96 @@ BASELINE_IMGS_PER_SEC = 5000.0
 H, W = 600, 1000
 BATCH = 128
 INNER = 8
-NOISE = 'sap_median_var0.4'  # BASELINE.json config 2: s&p + median over
-# batched 600x1000 tensors
+
+
+def _time_scanned(step_fn, images, reps=3, inner=INNER):
+    """step_fn(images, i) -> out; scanned `inner` times in one jit.
+    Returns images/sec."""
+
+    @jax.jit
+    def run_many(images):
+        def step(c, i):
+            out = step_fn(images, i)
+            return c + jnp.sum(out[0, ::97, ::89].astype(jnp.float32)), None
+        c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(inner))
+        return c
+
+    float(run_many(images))  # compile + warmup
+    float(run_many(images))  # second warmup (scheduler settle)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(run_many(images))
+    dt = (time.perf_counter() - t0) / reps
+    return images.shape[0] * inner / dt
+
+
+def _result(name, ips):
+    return {
+        "metric": f"fused noise+denoise ({name}) {H}x{W} images/sec/chip",
+        "value": round(ips, 1),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / BASELINE_IMGS_PER_SEC, 3),
+    }
+
+
+def bench_config2(images_u8, seeds):
+    """Headline (driver-recorded): s&p + median^2, fused Pallas, uint8
+    I/O — the dtype the loader actually ships."""
+    from tpudenoise.noise.pallas_kernels import fused_sap_median_batched
+
+    def step(images, i):
+        return fused_sap_median_batched(images, seeds + i, amount=0.4,
+                                        double_filter=True, tile_h=120)
+
+    return _time_scanned(step, images_u8)
+
+
+def bench_config1(images_u8, seeds):
+    """gaussian var0.1 + GaussianBlur3^2, fused Pallas, uint8 I/O."""
+    from tpudenoise.noise.pallas_kernels import fused_gaussian_blur
+
+    def step(images, i):
+        return fused_gaussian_blur(images, seeds + i, var=0.1,
+                                   double_filter=True)
+
+    return _time_scanned(step, images_u8)
+
+
+def bench_config3(images_f32, noise):
+    """Mixed-noise batch + denoise post-pass through the production
+    make_pipeline routing (bilateral rides the batched Pallas stencil;
+    wavelet runs the XLA lifting DWT).  Smaller batch: the mixed XLA
+    program keeps several full-batch f32 temporaries live (the lax.switch
+    branches + planar bilateral layout), so batch 128 overflows HBM."""
+    from tpudenoise.noise.pipeline import make_pipeline
+    fn = make_pipeline(noise, mode='TRAIN')
+    key = jax.random.PRNGKey(3)
+
+    def step(images, i):
+        return fn(jax.random.fold_in(key, i), images)
+
+    return _time_scanned(step, images_f32[:16], inner=2), fn.backend
 
 
 def main():
     jax.config.update('jax_threefry_partitionable', True)
-    from tpudenoise.noise.pallas_kernels import fused_sap_median_batched
+    full = '--full' in sys.argv
 
     rng = np.random.RandomState(3)
-    # uint8 batches: what the loader actually ships to device (4x fewer
-    # HBM bytes each way than f32; kernel compute is f32 in registers and
-    # bit-identical — tests/test_pallas.py::test_u8_io_matches_f32)
-    images = jax.device_put(jnp.asarray(
-        rng.randint(0, 256, (BATCH, H, W, 3)).astype(np.uint8)))
+    raw = rng.randint(0, 256, (BATCH, H, W, 3))
+    images_u8 = jax.device_put(jnp.asarray(raw.astype(np.uint8)))
     seeds = jnp.arange(BATCH, dtype=jnp.int32)
 
-    @jax.jit
-    def run_many(images, seeds):
-        def step(c, i):
-            out = fused_sap_median_batched(images, seeds + i, amount=0.4,
-                                           double_filter=True, tile_h=120)
-            # fold the output into a running checksum so no step is DCE'd
-            return c + jnp.sum(out[0, ::97, ::89].astype(jnp.float32)), None
-        c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(INNER))
-        return c
-
-    float(run_many(images, seeds))  # compile + warmup
-    float(run_many(images, seeds + 7))  # second warmup (scheduler settle)
-
-    reps = 3
-    t0 = time.perf_counter()
-    for r in range(reps):
-        float(run_many(images, seeds + 1000 * r))
-    dt = (time.perf_counter() - t0) / reps
-
-    imgs_per_sec = BATCH * INNER / dt
-    result = {
-        "metric": f"fused noise+denoise pallas ({NOISE}) "
-                  f"{H}x{W} images/sec/chip",
-        "value": round(imgs_per_sec, 1),
-        "unit": "images/sec",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-    }
-    print(json.dumps(result))
+    print(json.dumps(_result('pallas sap_median_var0.4',
+                             bench_config2(images_u8, seeds))))
+    if full:
+        print(json.dumps(_result('pallas gaussian_gaus_blur_var0.1',
+                                 bench_config1(images_u8, seeds))))
+        images_f32 = jax.device_put(jnp.asarray(raw.astype(np.float32)))
+        for noise in ('noise_mix_var_all_bilateral',
+                      'noise_mix_var_all_wavelet'):
+            ips, backend = bench_config3(images_f32, noise)
+            print(json.dumps(_result(f'{backend} {noise}', ips)))
 
 
 if __name__ == '__main__':
