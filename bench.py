@@ -101,6 +101,37 @@ def bench_config3(images_f32, noise):
     return _time_scanned(step, images_f32[:16], inner=2), fn.backend
 
 
+def bench_config4(shape=(608, 1024), inner=8, reps=3):
+    """BASELINE.json config 4: vgg16 Faster R-CNN inference (RPN +
+    anchors + device NMS + crop_and_resize RoI head) at the reference's
+    1-image-per-batch contract, `inner` forwards scanned inside one jit
+    (a vmapped batch-4 graph exceeds the remote-compile request limit).
+    Reported as images/sec (no reference number exists; recorded for
+    round-over-round regression)."""
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    model = FasterRCNN(backbone='vgg16', num_classes=21)
+    params = model.init(jax.random.PRNGKey(0), image_shape=shape)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(*shape, 3).astype(np.float32) * 30)
+    info = jnp.asarray([600., 1000., 1.], jnp.float32)
+
+    @jax.jit
+    def run_many(img):
+        def step(c, i):
+            out = model.forward_test(params, img + c * 1e-6, info)
+            return jnp.sum(out['cls_prob']) * 1e-8, None
+        c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(inner))
+        return c
+
+    float(run_many(img))
+    float(run_many(img))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        float(run_many(img))
+    dt = (time.perf_counter() - t0) / reps
+    return inner / dt
+
+
 def main():
     jax.config.update('jax_threefry_partitionable', True)
     full = '--full' in sys.argv
@@ -120,6 +151,11 @@ def main():
                       'noise_mix_var_all_wavelet'):
             ips, backend = bench_config3(images_f32, noise)
             print(json.dumps(_result(f'{backend} {noise}', ips)))
+        fps = bench_config4()
+        print(json.dumps({
+            "metric": "vgg16 faster-rcnn inference 608x1024",
+            "value": round(fps, 2), "unit": "images/sec",
+            "vs_baseline": None}))
 
 
 if __name__ == '__main__':

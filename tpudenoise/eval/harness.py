@@ -186,6 +186,29 @@ def _finish_eval(all_boxes, feats, imdb_obj, output_dir):
     print(f'Evaluating detections (artifacts in {output_dir})')
 
 
+_BATCHED_EVAL_FNS = {}
+
+
+def _batched_eval_fns(model, num_classes, nms, thresh, max_per_image):
+    """Jitted vmapped forward + postprocess, memoized per (model, eval
+    params) so multi-config sweeps (e.g. experiments/noise_grid.py: one
+    model, 39 noise configs) compile the detector ONCE instead of per
+    test_net_batched call.  params rides as an argument, not a closure."""
+    key = (model, num_classes, float(nms), float(thresh),
+           int(max_per_image))
+    if key not in _BATCHED_EVAL_FNS:
+        fwd = jax.jit(jax.vmap(
+            lambda params, im, info: model.forward_test(params, im, info),
+            in_axes=(None, 0, 0)))
+        post = jax.jit(jax.vmap(
+            lambda rois, mask, prob, pred, info: postprocess_detections(
+                rois, mask, prob, pred, info, num_classes, nms,
+                thresh, max_per_class=max_per_image),
+            in_axes=(0, 0, 0, 0, 0)))
+        _BATCHED_EVAL_FNS[key] = (fwd, post)
+    return _BATCHED_EVAL_FNS[key]
+
+
 def test_net_batched(model, params, imdb_obj, weights_filename: str,
                      noise: str, eval_batch: int = 8,
                      max_per_image: int = 100, thresh: float = 0.0,
@@ -227,13 +250,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
         keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(idx)
         return noise_fn.keyed(keys, raw)
 
-    fwd = jax.jit(jax.vmap(
-        lambda im, info: model.forward_test(params, im, info)))
-    post = jax.jit(jax.vmap(
-        lambda rois, mask, prob, pred, info: postprocess_detections(
-            rois, mask, prob, pred, info, num_classes, C.TEST.NMS,
-            thresh, max_per_class=max_per_image),
-        in_axes=(0, 0, 0, 0, 0)))
+    fwd, post = _batched_eval_fns(model, num_classes, C.TEST.NMS, thresh,
+                                  max_per_image)
 
     # group by original size so the noise batch is static-shaped
     groups = defaultdict(list)
@@ -270,7 +288,7 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                 infos.append((ph, pw, scale))
             imgs = jnp.asarray(np.stack(imgs))
             infos = jnp.asarray(np.asarray(infos, np.float32))
-            out = fwd(imgs, infos)
+            out = fwd(params, imgs, infos)
             boxes_c, scores_c, mask_c = post(
                 out['rois'], out['roi_mask'], out['cls_prob'],
                 out['bbox_pred'], infos)

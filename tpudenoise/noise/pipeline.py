@@ -131,8 +131,33 @@ def apply_post(denoise: Denoise, img: jnp.ndarray,
     return _FILTERS[denoise](img, not unit_float)
 
 
+def _apply_specs_batched(specs, keys, images):
+    """Per-image spec application over a batch.
+
+    Single spec: plain vmap.  Mix (>1 specs): lax.scan over images with a
+    lax.switch per step — under scan the switch EXECUTES only the branch
+    the image drew, whereas vmap(switch) lowers to running every branch
+    on every image and selecting (a ~len(specs)x slowdown: the mix tables
+    hold ~37 generators incl. K-Means quantization).  Images serialize,
+    but one 600x1000 generator saturates the VPU on its own, and it all
+    stays ONE dispatch.  Bit-identical to the vmap formulation."""
+    if len(specs) == 1:
+        return jax.vmap(functools.partial(apply_spec, specs[0])
+                        )(keys, images)
+    branches = [functools.partial(apply_spec, s) for s in specs]
+
+    def body(_, ki):
+        k, img = ki
+        kc, ka = jax.random.split(k)
+        idx = jax.random.randint(kc, (), 0, len(specs))
+        return None, jax.lax.switch(idx, branches, ka, img)
+
+    _, out = jax.lax.scan(body, None, (keys, images))
+    return out
+
+
 def _pallas_bilateral_pipeline(specs, n_stages: int):
-    """Noise in the XLA program (vmapped, per-image lax.switch for mixes);
+    """Noise in the XLA program (scanned per-image lax.switch for mixes);
     each bilateral stage (generator `_bilateral` variant and/or standalone
     post-pass, ref minibatch.py:1636-1663) as ONE batched Pallas HBM pass
     over the whole batch instead of a per-image 9x9 stencil chain."""
@@ -142,18 +167,10 @@ def _pallas_bilateral_pipeline(specs, n_stages: int):
                      if s.denoise == Denoise.BILATERAL else s
                      for s in specs)
 
-    def noisy_one(key, img):
-        if len(stripped) == 1:
-            return apply_spec(stripped[0], key, img)
-        kc, ka = jax.random.split(key)
-        idx = jax.random.randint(kc, (), 0, len(stripped))
-        branches = [functools.partial(apply_spec, s) for s in stripped]
-        return jax.lax.switch(idx, branches, ka, img)
-
     @jax.jit
     def run(key, images):
         keys = jax.random.split(key, images.shape[0])
-        out = jax.vmap(noisy_one)(keys, images)
+        out = _apply_specs_batched(stripped, keys, images)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
@@ -161,7 +178,7 @@ def _pallas_bilateral_pipeline(specs, n_stages: int):
     @jax.jit
     def run_keyed(keys, images):
         ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
-        out = jax.vmap(noisy_one)(ks, images)
+        out = _apply_specs_batched(stripped, ks, images)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
@@ -298,20 +315,16 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
             return _pallas_bilateral_pipeline(specs, 1)
     unit_float = all(s.unit_float_output for s in specs)
 
-    def one_image(key, img):
-        if len(specs) == 1:
-            out = apply_spec(specs[0], key, img)
-        else:
-            kc, ka = jax.random.split(key)
-            idx = jax.random.randint(kc, (), 0, len(specs))
-            branches = [functools.partial(apply_spec, s) for s in specs]
-            out = jax.lax.switch(idx, branches, ka, img)
-        return apply_post(plan.post_denoise, out, unit_float)
+    def _post_batched(out):
+        # the standalone post-pass is the SAME filter for every image —
+        # vmap it over the batch (no switch, so no all-branches blowup)
+        return jax.vmap(lambda im: apply_post(plan.post_denoise, im,
+                                              unit_float))(out)
 
     @jax.jit
     def run(key, images):
         keys = jax.random.split(key, images.shape[0])
-        return jax.vmap(one_image)(keys, images)
+        return _post_batched(_apply_specs_batched(specs, keys, images))
 
     @jax.jit
     def run_keyed(keys, images):
@@ -319,7 +332,7 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         # eval harness); reproduce the B=1 run() stream exactly:
         # split(k, 1)[0] per image
         ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
-        return jax.vmap(one_image)(ks, images)
+        return _post_batched(_apply_specs_batched(specs, ks, images))
 
     run.keyed = run_keyed
     run.backend = 'xla'

@@ -66,7 +66,15 @@ def proposal_top_layer(rpn_scores: jnp.ndarray, rpn_deltas: jnp.ndarray,
                        anchors: jnp.ndarray, im_hw, top_n: int):
     """NMS-free alternative: top RPN_TOP_N=5000 by score, then decode+clip
     (ref proposal_top_layer.py:58-85; selection before decoding, unlike
-    proposal_layer)."""
+    proposal_layer).
+
+    Documented deviation: when fewer than top_n anchors score (anchor
+    count < top_n), the reference's numpy path PADS by sampling indices
+    with replacement (npr.choice, ref proposal_top_layer.py:30-38),
+    duplicating random proposals; here the short tail is masked out
+    instead (fixed shapes, no duplicates).  In practice 5000 < the anchor
+    count at every supported geometry, so the branch never fires; the TF
+    path the reference actually runs (tf.nn.top_k) has no pad either."""
     cx = (anchors[:, 0] + anchors[:, 2]) * 0.5
     cy = (anchors[:, 1] + anchors[:, 3]) * 0.5
     inside = (cx < im_hw[1]) & (cy < im_hw[0])
