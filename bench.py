@@ -115,19 +115,23 @@ def bench_config4(shape=(608, 1024), inner=8, reps=3):
     img = jnp.asarray(rng.randn(*shape, 3).astype(np.float32) * 30)
     info = jnp.asarray([600., 1000., 1.], jnp.float32)
 
-    @jax.jit
-    def run_many(img):
-        def step(c, i):
-            out = model.forward_test(params, img + c * 1e-6, info)
-            return jnp.sum(out['cls_prob']) * 1e-8, None
-        c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(inner))
-        return c
+    def chain(n):
+        # `inner` async dispatches of the cached forward binary, serially
+        # data-dependent (acc feeds the next input); one host readback at
+        # the end blocks on the whole chain.  A scan-of-forward program
+        # exceeds the remote-compile request size limit here, and a lone
+        # block_until_ready doesn't actually block through the tunnel.
+        acc = jnp.float32(0)
+        for _ in range(n):
+            out = model.forward_test(params, img + acc, info)
+            acc = jnp.sum(out['cls_prob']).astype(jnp.float32) * 1e-9
+        return float(acc)
 
-    float(run_many(img))
-    float(run_many(img))
+    chain(2)  # compile + warmup
+    chain(2)
     t0 = time.perf_counter()
     for _ in range(reps):
-        float(run_many(img))
+        chain(inner)
     dt = (time.perf_counter() - t0) / reps
     return inner / dt
 
