@@ -1,5 +1,9 @@
 """Micro-profile the fused sap+median kernel: which stage costs what.
 
+NOTE: this intentionally forks the production kernel's DMA scaffold so
+each compute stage can be ablated in place — keep the DMA loop in sync
+with pallas_kernels._fused_batched_kernel when that changes.
+
 Measures images/sec for ablations of fused_sap_median_batched:
   copy      — DMA in + write out, no compute
   noise     — + s&p hash/select

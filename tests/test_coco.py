@@ -124,3 +124,45 @@ def test_factory_registers_coco():
     from tpudenoise.data.factory import list_imdbs
     names = list_imdbs()
     assert 'coco_2014_val' in names and 'coco_2015_test-dev' in names
+
+
+def test_cocoeval_area_range_rematch():
+    """Per-area-range re-matching: a detection overlapping both a small
+    and a medium gt must match the small gt when the medium one is
+    ignore-flagged for the small range (pycocotools semantics) — a single
+    global match would report AR_small = 0."""
+    from tpudenoise.data.coco_api import COCO, COCOeval
+    gt = COCO()
+    gt.dataset = {
+        'images': [{'id': 1, 'width': 200, 'height': 200}],
+        'categories': [{'id': 1, 'name': 'x'}],
+        'annotations': [
+            {'id': 1, 'image_id': 1, 'category_id': 1, 'iscrowd': 0,
+             'bbox': [10, 10, 30, 30], 'area': 900},      # small
+            {'id': 2, 'image_id': 1, 'category_id': 1, 'iscrowd': 0,
+             'bbox': [8, 8, 40, 40], 'area': 1600},       # medium
+        ],
+    }
+    gt.create_index()
+    dt = gt.loadRes([{'image_id': 1, 'category_id': 1,
+                      'bbox': [8, 8, 40, 40], 'score': 0.9}])
+    ev = COCOeval(gt, dt, 'bbox')
+    ev.evaluate()
+    ev.accumulate()
+    ev.summarize()
+    # IoU(dt, small gt) = 900/1600 = 0.5625 -> matched at t=.50/.55
+    ar_small = ev.stats[9]
+    assert abs(ar_small - 0.2) < 1e-6, ar_small
+
+
+def test_loadres_does_not_mutate_input():
+    from tpudenoise.data.coco_api import COCO
+    gt = COCO()
+    gt.dataset = {'images': [{'id': 1, 'width': 10, 'height': 10}],
+                  'categories': [{'id': 1, 'name': 'x'}],
+                  'annotations': []}
+    gt.create_index()
+    dets = [{'image_id': 1, 'category_id': 1, 'bbox': [1, 1, 2, 2],
+             'score': 0.5}]
+    gt.loadRes(dets)
+    assert set(dets[0]) == {'image_id', 'category_id', 'bbox', 'score'}

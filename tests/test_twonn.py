@@ -88,3 +88,13 @@ def test_per_layer_id_runs():
     assert set(ids) == {'a', 'b'}
     for mean, err in ids.values():
         assert np.isfinite(mean) and np.isfinite(err)
+
+
+def test_grid_pool_tiny_map_no_nan():
+    """Probe maps smaller than the grid must not average empty bins."""
+    import jax.numpy as jnp
+    from tpudenoise.analysis.twonn import _grid_pool
+    out = np.asarray(_grid_pool(jnp.ones((2, 5, 8)), 4))
+    assert out.shape == (4 * 4 * 8,)
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, 1.0)

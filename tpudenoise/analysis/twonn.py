@@ -125,8 +125,17 @@ def _grid_pool(feat: jnp.ndarray, grid: int) -> jnp.ndarray:
     h, w, _ = feat.shape
     hb = np.linspace(0, h, grid + 1).astype(int)
     wb = np.linspace(0, w, grid + 1).astype(int)
-    cells = [feat[hb[i]:hb[i + 1], wb[j]:wb[j + 1]].mean(axis=(0, 1))
-             for i in range(grid) for j in range(grid)]
+
+    def cell(i, j):
+        # maps smaller than the grid collapse bins; widen empty ones to a
+        # single (repeated) row/col instead of averaging zero elements
+        y0 = min(hb[i], h - 1)
+        y1 = max(hb[i + 1], y0 + 1)
+        x0 = min(wb[j], w - 1)
+        x1 = max(wb[j + 1], x0 + 1)
+        return feat[y0:y1, x0:x1].mean(axis=(0, 1))
+
+    cells = [cell(i, j) for i in range(grid) for j in range(grid)]
     return jnp.concatenate(cells).astype(jnp.float32)
 
 

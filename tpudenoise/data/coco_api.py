@@ -93,14 +93,15 @@ class COCO:
                 dets = json.load(f)
         else:
             dets = res_file
-        for i, d in enumerate(dets):
+        anns = []
+        for i, d in enumerate(dets):  # copies: never mutate the input
             x, y, w, h = d['bbox']
             d = dict(d)
             d.setdefault('id', i + 1)
             d.setdefault('area', float(w * h))
             d.setdefault('iscrowd', 0)
-            dets[i] = d
-        res.dataset['annotations'] = dets
+            anns.append(d)
+        res.dataset['annotations'] = anns
         res.create_index()
         return res
 
@@ -139,17 +140,29 @@ class COCOeval:
         self._per_img = {}
         self.eval = {}
 
-    def _match_one(self, img_id, cat_id):
+    def _match_one(self, img_id, cat_id, lo, hi):
+        """Greedy matching for ONE area range: gts outside [lo, hi] (or
+        crowd) are ignore-flagged and sorted last, so in-range gts win the
+        match even when an out-of-range gt overlaps better — the standard
+        per-range re-matching (only the 'all' range would survive a
+        single global match)."""
         gts = [self.gt.anns[i] for i in
                self.gt.getAnnIds(imgIds=[img_id], catIds=[cat_id])]
         dts = [self.dt.anns[i] for i in
                self.dt.getAnnIds(imgIds=[img_id], catIds=[cat_id])]
         dts = sorted(dts, key=lambda d: -d['score'])[:max(MAX_DETS)]
-        # crowd/ignored gts sort last so real gts win ties
-        gts = sorted(gts, key=lambda g: bool(g.get('iscrowd')))
+
+        def area(g):
+            return g.get('area', g['bbox'][2] * g['bbox'][3])
+
+        def ignored(g):
+            return (bool(g.get('iscrowd')) or area(g) < lo
+                    or area(g) > hi)
+
+        # ignored gts sort last so real gts win ties
+        gts = sorted(gts, key=ignored)
         crowd = np.array([bool(g.get('iscrowd')) for g in gts], bool)
-        g_area = np.array([g.get('area', g['bbox'][2] * g['bbox'][3])
-                           for g in gts], np.float64)
+        g_ig = np.array([ignored(g) for g in gts], bool)
         ious = _bbox_iou(
             np.array([d['bbox'] for d in dts], np.float64).reshape(-1, 4),
             np.array([g['bbox'] for g in gts], np.float64).reshape(-1, 4),
@@ -157,33 +170,34 @@ class COCOeval:
         T, D, G = len(IOU_THRS), len(dts), len(gts)
         dt_match = np.zeros((T, D), np.int64)     # 1 + matched gt index
         gt_match = np.zeros((T, G), np.int64)
-        dt_crowd = np.zeros((T, D), bool)          # matched a crowd gt
+        dt_ig = np.zeros((T, D), bool)             # matched an ignored gt
         for ti, t in enumerate(IOU_THRS):
             for di in range(D):
                 best, m = min(t, 1 - 1e-10), -1
                 for gi in range(G):
                     if gt_match[ti, gi] and not crowd[gi]:
                         continue
-                    if m > -1 and not crowd[m] and crowd[gi]:
-                        break  # only crowd gts remain; keep the real match
+                    if m > -1 and not g_ig[m] and g_ig[gi]:
+                        break  # only ignored gts remain; keep real match
                     if ious[di, gi] < best:
                         continue
                     best, m = ious[di, gi], gi
                 if m >= 0:
                     dt_match[ti, di] = m + 1
                     gt_match[ti, m] = di + 1
-                    dt_crowd[ti, di] = crowd[m]
+                    dt_ig[ti, di] = g_ig[m]
         return {'scores': np.array([d['score'] for d in dts], np.float64),
                 'dt_area': np.array([d['bbox'][2] * d['bbox'][3]
                                      for d in dts], np.float64),
-                'dt_match': dt_match, 'dt_crowd': dt_crowd,
-                'gt_area': g_area, 'crowd': crowd}
+                'dt_match': dt_match, 'dt_ig': dt_ig,
+                'n_gt': int((~g_ig).sum())}
 
     def evaluate(self):
         for img_id in self.img_ids:
             for cat_id in self.cat_ids:
-                self._per_img[img_id, cat_id] = self._match_one(img_id,
-                                                                cat_id)
+                for rng_name, (lo, hi) in AREA_RNG.items():
+                    self._per_img[img_id, cat_id, rng_name] = \
+                        self._match_one(img_id, cat_id, lo, hi)
 
     def accumulate(self):
         T, K = len(IOU_THRS), len(self.cat_ids)
@@ -191,25 +205,22 @@ class COCOeval:
         precision = -np.ones((T, len(RECALL_THRS), K, A, M))
         recall = -np.ones((T, K, A, M))
         for ki, cat_id in enumerate(self.cat_ids):
-            for ai, (lo, hi) in enumerate(AREA_RNG.values()):
+            for ai, (rng_name, (lo, hi)) in enumerate(AREA_RNG.items()):
                 for mi, max_det in enumerate(MAX_DETS):
                     scores, tps, fps, npig = [], [], [], 0
                     for img_id in self.img_ids:
-                        e = self._per_img[img_id, cat_id]
-                        g_ig = (e['crowd'] | (e['gt_area'] < lo)
-                                | (e['gt_area'] > hi))
-                        npig += int((~g_ig).sum())
+                        e = self._per_img[img_id, cat_id, rng_name]
+                        npig += e['n_gt']
                         n = min(max_det, len(e['scores']))
                         if n == 0:
                             continue
                         m = e['dt_match'][:, :n]
                         # a dt is ignored if it matched an ignored gt, or
                         # is unmatched and outside the area range
-                        ig_of_match = np.where(
-                            m > 0, g_ig[np.maximum(m - 1, 0)], False)
                         d_out = ((e['dt_area'][:n] < lo)
                                  | (e['dt_area'][:n] > hi))
-                        d_ig = ig_of_match | ((m == 0) & d_out[None])
+                        d_ig = (e['dt_ig'][:, :n]
+                                | ((m == 0) & d_out[None]))
                         scores.append(e['scores'][:n])
                         tps.append((m > 0) & ~d_ig)
                         fps.append((m == 0) & ~d_ig)

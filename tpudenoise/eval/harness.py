@@ -193,9 +193,16 @@ def _batched_eval_fns(model, num_classes, nms, thresh, max_per_image):
     """Jitted vmapped forward + postprocess, memoized per (model, eval
     params) so multi-config sweeps (e.g. experiments/noise_grid.py: one
     model, 39 noise configs) compile the detector ONCE instead of per
-    test_net_batched call.  params rides as an argument, not a closure."""
+    test_net_batched call.  params rides as an argument, not a closure.
+
+    forward_test reads model._cfg.TEST.* at trace time, so those knobs
+    join the cache key — mutating cfg.TEST between calls (the
+    test_e2e/dryrun pattern) must re-trace, not reuse a stale program."""
+    T = model._cfg.TEST
     key = (model, num_classes, float(nms), float(thresh),
-           int(max_per_image))
+           int(max_per_image), T.MODE, int(T.RPN_TOP_N),
+           int(T.RPN_PRE_NMS_TOP_N), int(T.RPN_POST_NMS_TOP_N),
+           float(T.RPN_NMS_THRESH))
     if key not in _BATCHED_EVAL_FNS:
         fwd = jax.jit(jax.vmap(
             lambda params, im, info: model.forward_test(params, im, info),
