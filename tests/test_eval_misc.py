@@ -65,3 +65,22 @@ def test_ds_utils():
     np.testing.assert_array_equal(xywh_to_xyxy(xywh), boxes)
     assert list(filter_small_boxes(boxes, 8)) == [0, 1, 2]
     assert list(filter_small_boxes(boxes, 12)) == [2]
+
+
+def test_metrics_logger_writes_tfevents(tmp_path):
+    """tb_dir produces REAL TensorBoard event files (the reference's TB
+    contract, ref train_val.py:156-157), readable back via the tfevents
+    record format."""
+    from tpudenoise.utils.logging import MetricsLogger
+    d = str(tmp_path / 'tb')
+    lg = MetricsLogger(logdir=d, tb_dir=d, quiet=True)
+    lg.log({'total_loss': 1.5, 'note': 'skipped-nonscalar'}, step=3)
+    lg.close()
+    import glob
+    evs = glob.glob(d + '/events.out.tfevents.*')
+    assert evs, 'no tfevents file written'
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader)
+    scalars = [(v.tag, e.step) for e in EventFileLoader(evs[0]).Load()
+               for v in e.summary.value]
+    assert ('total_loss', 3) in scalars

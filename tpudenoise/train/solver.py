@@ -60,7 +60,9 @@ class Solver:
         self.max_gt = max_gt
         self.prefetch = prefetch
         os.makedirs(output_dir, exist_ok=True)
-        self.logger = MetricsLogger(logdir=tb_dir)
+        # JSONL + real tfevents files under the reference's tensorboard
+        # dir layout (ref train_val.py:156-157)
+        self.logger = MetricsLogger(logdir=tb_dir, tb_dir=tb_dir)
 
         # fused on-device noise for the TRAIN pipeline semantics
         # (use_pallas auto: fused Pallas kernels on TPU, XLA elsewhere)

@@ -1,10 +1,12 @@
 """Metrics sinks.
 
 The reference logs to three places: TensorBoard summaries, Weights&Biases
-and stdout (SURVEY.md §5 "Metrics / logging").  Neither TF nor wandb are
-dependencies here; this module provides one logger facade with pluggable
-sinks: stdout + JSONL always, wandb if importable, TensorBoard-format
-scalars via a minimal tfevents writer-free CSV (readable by pandas).
+and stdout (SURVEY.md §5 "Metrics / logging"; ref lib/model/
+train_val.py:156-157,325,362 + tensorboard/{NET}/{imdb}/ dirs).  This
+module provides one logger facade with pluggable sinks: stdout + JSONL
+always; REAL TensorBoard event files (via torch.utils.tensorboard, which
+ships a pure-python tfevents writer) when a tb_dir is given and the
+import works; wandb if importable.
 """
 
 from __future__ import annotations
@@ -17,13 +19,23 @@ from typing import Optional
 
 class MetricsLogger:
     def __init__(self, logdir: Optional[str] = None,
-                 project: Optional[str] = None, quiet: bool = False):
+                 project: Optional[str] = None, quiet: bool = False,
+                 tb_dir: Optional[str] = None):
         self.logdir = logdir
         self.quiet = quiet
         self._jsonl = None
         if logdir:
             os.makedirs(logdir, exist_ok=True)
             self._jsonl = open(os.path.join(logdir, 'metrics.jsonl'), 'a')
+        self._tb = None
+        if tb_dir:
+            try:
+                # torch bundles a pure-python tfevents writer; real event
+                # files keep the reference's TensorBoard contract
+                from torch.utils.tensorboard import SummaryWriter
+                self._tb = SummaryWriter(tb_dir)
+            except Exception:
+                self._tb = None
         self._wandb = None
         if project:
             try:
@@ -45,12 +57,19 @@ class MetricsLogger:
         if self._jsonl:
             self._jsonl.write(json.dumps(rec) + '\n')
             self._jsonl.flush()
+        if self._tb:
+            for k, v in metrics.items():
+                if isinstance(v, (int, float)):
+                    self._tb.add_scalar(k, v, global_step=step)
+            self._tb.flush()
         if self._wandb:
             self._wandb.log(metrics, step=step)
 
     def close(self):
         if self._jsonl:
             self._jsonl.close()
+        if self._tb:
+            self._tb.close()
 
 
 _GLOBAL: Optional[MetricsLogger] = None
