@@ -56,6 +56,9 @@ def default_config() -> AttrDict:
     C.TRAIN.WEIGHT_DECAY = 0.0001
     C.TRAIN.GAMMA = 0.1
     C.TRAIN.STEPSIZE = [30000]
+    # linear LR warmup iters; 0 = reference semantics (no warmup).  Set
+    # for FROM-SCRATCH resnet training (see train_step.lr_schedule)
+    C.TRAIN.WARMUP_ITERS = 0
     C.TRAIN.DISPLAY = 10
     C.TRAIN.DOUBLE_BIAS = True
     C.TRAIN.TRUNCATED = False

@@ -133,6 +133,29 @@ class ResNetTail(nn.Module):
         return jnp.mean(x, axis=(1, 2))
 
 
+def zero_init_residual(params):
+    """Zero the final-BN gamma of every bottleneck so each residual unit
+    is identity at init.
+
+    FrozenBatchNorm never normalizes (it is a loaded affine), so a
+    RANDOM-init resnet's activations grow with depth through the residual
+    sums — res101 at LR 1e-3 diverges to NaN within two steps.  The
+    reference never hits this (it always restores ImageNet stats,
+    resnet_v1.py:175-185); for from-scratch training this standard
+    zero-gamma trick ("Accurate, Large Minibatch SGD", Goyal et al.)
+    makes the net well-conditioned.  Pretrained loads overwrite these
+    gammas, so the transform is a no-op for the checkpoint path."""
+    import jax
+
+    def fix(path, leaf):
+        keys = [getattr(p, 'key', str(p)) for p in path]
+        if len(keys) >= 2 and keys[-2] == 'bn3' and keys[-1] == 'gamma':
+            return jnp.zeros_like(leaf)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(fix, params)
+
+
 def frozen_param_filter(num_fixed_blocks: int = 1):
     """Param-path predicate implementing RESNET.FIXED_BLOCKS + always-frozen
     root and BN (ref resnet_v1.py:93-118: base always fixed; first

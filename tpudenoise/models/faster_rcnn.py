@@ -114,6 +114,11 @@ class FasterRCNN:
             (2, self.pool_size, self.pool_size, feat.shape[-1]),
             self.dtype)
         tail_p = self.tail_mod.init(kt, dummy_crops)['params']
+        if self.backbone.startswith('res'):
+            # identity residual units at random init (see
+            # resnet.zero_init_residual); overwritten by pretrained loads
+            head_p = resnet.zero_init_residual(head_p)
+            tail_p = resnet.zero_init_residual(tail_p)
         return {'head': head_p, 'rpn': rpn_p, 'tail': tail_p}
 
     # --------------------------------------------------------- helpers --

@@ -25,8 +25,10 @@ def smooth_l1(bbox_pred, bbox_targets, inside_w, outside_w, sigma: float,
 def masked_softmax_ce(logits, labels, valid) -> jnp.ndarray:
     """mean CE over entries with valid=True (the reference gathers label
     != -1 rows, network.py:287-293)."""
+    # f32: bf16 logsumexp can round below the max logit on confident
+    # rows, yielding (impossible) slightly negative CE values
     ce = optax.softmax_cross_entropy_with_integer_labels(
-        logits, jnp.maximum(labels, 0))
+        logits.astype(jnp.float32), jnp.maximum(labels, 0))
     n = jnp.maximum(jnp.sum(valid), 1.0)
     return jnp.sum(jnp.where(valid, ce, 0.0)) / n
 

@@ -30,9 +30,23 @@ from tpudenoise.core.config import AttrDict
 def lr_schedule(cfg: AttrDict):
     # LEARNING_RATE scaled by GAMMA at each STEPSIZE boundary
     # (ref train_val.py:293-301)
-    return optax.piecewise_constant_schedule(
+    step = optax.piecewise_constant_schedule(
         cfg.TRAIN.LEARNING_RATE,
         {int(s): cfg.TRAIN.GAMMA for s in cfg.TRAIN.STEPSIZE})
+    # optional linear warmup (TRAIN.WARMUP_ITERS, default 0 = reference
+    # semantics).  Needed for FROM-SCRATCH resnet training: FrozenBN
+    # never normalizes, so random-init features start large and the
+    # first full-LR steps diverge; the reference never trains from
+    # scratch (it always restores ImageNet weights).
+    warmup = int(cfg.TRAIN.get('WARMUP_ITERS', 0))
+    if warmup <= 0:
+        return step
+
+    def sched(count):
+        scale = jnp.minimum(1.0, (count + 1) / warmup)
+        return step(count) * scale
+
+    return sched
 
 
 def _is_bias(path) -> bool:
