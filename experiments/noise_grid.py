@@ -102,8 +102,10 @@ def main(argv=None):
     cfg.TEST.MAX_SIZE = 320
     cfg.TRAIN.SNAPSHOT_ITERS = max(100, args.iters // 2)
     # from-scratch training (no fetchable ImageNet weights here) needs
-    # the warmup: see train_step.lr_schedule / resnet.zero_init_residual
+    # warmup + clipping: FrozenBN never normalizes, so random-init
+    # resnets spike (see train_step.lr_schedule, resnet.zero_init_residual)
     cfg.TRAIN.WARMUP_ITERS = 100
+    cfg.TRAIN.GRAD_CLIP = 10.0
     bucket = (240, 320)
 
     # ---- train once on clean images (reference hyperparams otherwise:

@@ -59,6 +59,8 @@ def default_config() -> AttrDict:
     # linear LR warmup iters; 0 = reference semantics (no warmup).  Set
     # for FROM-SCRATCH resnet training (see train_step.lr_schedule)
     C.TRAIN.WARMUP_ITERS = 0
+    # global-norm gradient clip; 0 = off = reference semantics
+    C.TRAIN.GRAD_CLIP = 0.0
     C.TRAIN.DISPLAY = 10
     C.TRAIN.DOUBLE_BIAS = True
     C.TRAIN.TRUNCATED = False

@@ -202,6 +202,11 @@ class Solver:
                 print(f'iter: {it} / {max_iters}, '
                       f'total loss: {vals["total_loss"]:.6f} '
                       f'({timer.average_time:.3f}s/iter)')
+                if not np.isfinite(vals['total_loss']) and C.TRAIN.get(
+                        'NAN_ABORT', True):
+                    raise FloatingPointError(
+                        f'non-finite loss at iter {it}: {vals} — '
+                        f'aborting (set TRAIN.NAN_ABORT False to ignore)')
             if (time.time() - last_summary > C.TRAIN.SUMMARY_INTERVAL
                     and self.valroidb):
                 key, k_vn, k_vs = jax.random.split(key, 3)

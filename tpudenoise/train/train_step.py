@@ -75,7 +75,11 @@ def make_optimizer(cfg: AttrDict, frozen_filters: dict):
         return jax.tree_util.tree_map_with_path(
             lambda p, _: _is_bias(p), params)
 
+    clip = float(cfg.TRAIN.get('GRAD_CLIP', 0.0) or 0.0)
     chain = optax.chain(
+        # optional global-norm gradient clipping (TRAIN.GRAD_CLIP, default
+        # 0 = off = reference semantics); from-scratch resnets spike
+        optax.clip_by_global_norm(clip) if clip > 0 else optax.identity(),
         optax.masked(optax.scale(2.0), bias_mask)
         if cfg.TRAIN.DOUBLE_BIAS else optax.identity(),
         optax.trace(decay=cfg.TRAIN.MOMENTUM, nesterov=False),
