@@ -60,7 +60,7 @@ QUICK_GRID = ['original', 'gaussian_var0.1', 'gaussian_gaus_blur_var0.1',
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--net', default='res101')
-    p.add_argument('--iters', type=int, default=500)
+    p.add_argument('--iters', type=int, default=2000)
     p.add_argument('--quick', action='store_true')
     p.add_argument('--workdir', default='output/noise_grid')
     p.add_argument('--n-train', type=int, default=16)
@@ -106,6 +106,10 @@ def main(argv=None):
     # resnets spike (see train_step.lr_schedule, resnet.zero_init_residual)
     cfg.TRAIN.WARMUP_ITERS = 100
     cfg.TRAIN.GRAD_CLIP = 10.0
+    # the reference freezes conv1+block1 because they are PRETRAINED;
+    # from scratch those would be frozen random projections
+    cfg.RESNET.FIXED_BLOCKS = 0
+    cfg.RESNET.FREEZE_ROOT = False
     bucket = (240, 320)
 
     # ---- train once on clean images (reference hyperparams otherwise:

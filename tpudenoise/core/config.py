@@ -120,6 +120,9 @@ def default_config() -> AttrDict:
     C.RESNET = AttrDict()
     C.RESNET.MAX_POOL = False
     C.RESNET.FIXED_BLOCKS = 1
+    # reference always freezes the (pretrained) root conv; set False for
+    # from-scratch training (see resnet.frozen_param_filter)
+    C.RESNET.FREEZE_ROOT = True
 
     # -- MobileNet options (ref config.py:230-243) --
     C.MOBILENET = AttrDict()

@@ -156,10 +156,16 @@ def zero_init_residual(params):
     return jax.tree_util.tree_map_with_path(fix, params)
 
 
-def frozen_param_filter(num_fixed_blocks: int = 1):
+def frozen_param_filter(num_fixed_blocks: int = 1,
+                        freeze_root: bool = True):
     """Param-path predicate implementing RESNET.FIXED_BLOCKS + always-frozen
     root and BN (ref resnet_v1.py:93-118: base always fixed; first
-    FIXED_BLOCKS blocks fixed; BN frozen everywhere)."""
+    FIXED_BLOCKS blocks fixed; BN frozen everywhere).
+
+    freeze_root=False (cfg.RESNET.FREEZE_ROOT) unfreezes the root conv —
+    the reference freezes it because it is PRETRAINED; when training from
+    scratch a frozen random root would cripple learning.  BN stays frozen
+    either way (it is an affine, not a statistic)."""
     fixed_blocks = {f'block{i + 1}' for i in range(num_fixed_blocks)}
 
     def is_frozen(path: Sequence[str]) -> bool:
@@ -167,7 +173,8 @@ def frozen_param_filter(num_fixed_blocks: int = 1):
         if any(('bn' in p or p == 'conv1_bn' or p == 'shortcut_bn')
                for p in parts):
             return True
-        if parts and (parts[0] == 'conv1' or parts[0] == 'conv1_bn'):
+        if freeze_root and parts and (parts[0] == 'conv1'
+                                      or parts[0] == 'conv1_bn'):
             return True
         if parts and parts[0] in fixed_blocks:
             return True

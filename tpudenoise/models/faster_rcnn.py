@@ -84,7 +84,8 @@ class FasterRCNN:
             # RESNET.MAX_POOL False: direct 7x7 crop (resnet_v1.py:60-81)
             self.pool_then_max = bool(C.RESNET.MAX_POOL)
             self.frozen_filter = resnet.frozen_param_filter(
-                C.RESNET.FIXED_BLOCKS)
+                C.RESNET.FIXED_BLOCKS,
+                freeze_root=bool(C.RESNET.get('FREEZE_ROOT', True)))
         elif self.backbone == 'mobile':
             dm = C.MOBILENET.DEPTH_MULTIPLIER
             self.head_mod = mobilenet.MobileNetV1Head(dm, dtype=self.dtype)
