@@ -60,7 +60,7 @@ QUICK_GRID = ['original', 'gaussian_var0.1', 'gaussian_gaus_blur_var0.1',
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument('--net', default='res101')
-    p.add_argument('--iters', type=int, default=2000)
+    p.add_argument('--iters', type=int, default=5000)  # rrData contract (train_faster_rcnn.sh:43-50)
     p.add_argument('--quick', action='store_true')
     p.add_argument('--workdir', default='output/noise_grid')
     p.add_argument('--n-train', type=int, default=16)
