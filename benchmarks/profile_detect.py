@@ -1,0 +1,74 @@
+"""Stage breakdown of forward_test on TPU: backbone, RPN, proposal+NMS,
+RoI head.  Run:  python benchmarks/profile_detect.py [net]"""
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def timeit(fn, img, *args, reps=8):
+    """Serially data-dependent chain (the perturbed image feeds the next
+    call) with ONE final readback — the only reliable way to time through
+    the tunnel: independent calls overlap, and block_until_ready does not
+    truly block."""
+    fn(img, *args)  # compile
+    acc = jnp.float32(0)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(img + acc, *args)
+        acc = jnp.sum(jax.tree_util.tree_leaves(out)[0]).astype(
+            jnp.float32) * 1e-9
+    float(acc)
+    return (time.perf_counter() - t0) / reps * 1000  # ms
+
+
+def main():
+    net = sys.argv[1] if len(sys.argv) > 1 else 'vgg16'
+    from tpudenoise.core.config import default_config
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    from tpudenoise.ops.proposal import proposal_layer
+
+    cfg = default_config()
+    model = FasterRCNN(backbone=net, num_classes=21, cfg=cfg)
+    shape = (608, 1024)
+    params = model.init(jax.random.PRNGKey(0), image_shape=shape)
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(*shape, 3).astype(np.float32) * 30)
+    info = jnp.asarray([600., 1000., 1.], jnp.float32)
+
+    # full
+    full = jax.jit(lambda im, p, inf: model.forward_test(p, im, inf))
+    t_full = timeit(full, img, params, info)
+
+    # backbone head only
+    bb = jax.jit(lambda im, p: model.head_mod.apply(
+        {'params': p['head']}, im[None]))
+    t_bb = timeit(bb, img, params)
+
+    # backbone + rpn
+    rpn = jax.jit(lambda im, p: model._rpn_forward(p, im)[2])
+    t_rpn = timeit(rpn, img, params)
+
+    # backbone + rpn + proposal/NMS
+    def upto_prop(im, p, inf):
+        feat, _, scores, deltas, anchors = model._rpn_forward(p, im)
+        rois, roi_scores, mask = proposal_layer(
+            scores, deltas, anchors, inf[:2], cfg.TEST.RPN_NMS_THRESH,
+            cfg.TEST.RPN_PRE_NMS_TOP_N, cfg.TEST.RPN_POST_NMS_TOP_N)
+        return rois
+    t_prop = timeit(jax.jit(upto_prop), img, params, info)
+
+    print(f'{net} @ {shape}:')
+    print(f'  backbone head          {t_bb:7.2f} ms')
+    print(f'  + rpn conv             {t_rpn:7.2f} ms  (rpn {t_rpn - t_bb:+.2f})')
+    print(f'  + proposal/NMS         {t_prop:7.2f} ms  (nms {t_prop - t_rpn:+.2f})')
+    print(f'  full forward_test      {t_full:7.2f} ms  (roi head {t_full - t_prop:+.2f})')
+
+
+if __name__ == '__main__':
+    main()
