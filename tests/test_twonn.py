@@ -98,3 +98,17 @@ def test_grid_pool_tiny_map_no_nan():
     assert out.shape == (4 * 4 * 8,)
     assert np.isfinite(out).all()
     np.testing.assert_allclose(out, 1.0)
+
+
+def test_backbone_probe_features_mobile():
+    import jax
+    from tpudenoise.analysis.twonn import PROBES, make_probe_fn
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    m = FasterRCNN(backbone='mobile', num_classes=2)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    fn = make_probe_fn(m, grid=2)
+    imgs = np.random.RandomState(2).randn(2, 64, 96, 3).astype(np.float32)
+    feats = fn(params, imgs)
+    assert set(feats) == set(PROBES['mobile']) | {'head'}
+    for p, v in feats.items():
+        assert np.asarray(v).ndim == 2 and np.isfinite(np.asarray(v)).all()
