@@ -140,9 +140,7 @@ def bench(fn):
 
 def _u8_run(images, seeds, tile_h, mode):
     # uint8-I/O variant of the ablation: same stages, u8 DMA + casts
-    from tpudenoise.noise.pallas_kernels import (_load_f32,
-                                                 fused_sap_median_batched)
-    del fused_sap_median_batched
+    from tpudenoise.noise.pallas_kernels import _load_f32
     bsz, h, w, _ = images.shape
     w3 = w * 3
     w3p = ((w3 + LANES - 1) // LANES) * LANES

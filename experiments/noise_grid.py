@@ -11,7 +11,7 @@ can diff detection behavior across the full {noise}_{denoise}_var{level}
 grammar (ref README.md:86-102).
 
 Usage:
-  python experiments/noise_grid.py [--net res101] [--iters 500]
+  python experiments/noise_grid.py [--net res101] [--iters 5000]
       [--quick]            # vgg16, fewer iters, 8-entry grid
       [--workdir output/noise_grid]
 

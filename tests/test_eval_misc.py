@@ -71,6 +71,10 @@ def test_metrics_logger_writes_tfevents(tmp_path):
     """tb_dir produces REAL TensorBoard event files (the reference's TB
     contract, ref train_val.py:156-157), readable back via the tfevents
     record format."""
+    import pytest
+    pytest.importorskip('torch.utils.tensorboard')
+    pytest.importorskip(
+        'tensorboard.backend.event_processing.event_file_loader')
     from tpudenoise.utils.logging import MetricsLogger
     d = str(tmp_path / 'tb')
     lg = MetricsLogger(logdir=d, tb_dir=d, quiet=True)

@@ -126,20 +126,51 @@ def test_backbone_feature_strides():
         assert feat.shape[-1] == ch, (name, feat.shape)
 
 
-def test_zero_init_residual_gammas():
-    """Random-init resnets start as identity residual units (bn3 gammas
-    zero, shortcut/bn1/bn2 untouched) so from-scratch training is
-    conditioned — pretrained loads overwrite these."""
+def test_zero_init_residual_is_identity_and_trainable():
+    """Random-init resnets start as identity residual units via a zeroed
+    conv3 KERNEL (NOT the bn3 gamma — BN params are frozen by
+    frozen_param_filter, so a zero gamma would permanently kill the
+    branch: zero gradient to conv1/2/3 through a frozen zero scale).
+    The branch must come back to life: one train step with the
+    from-scratch config gives the deep conv3 kernel a nonzero update."""
     import jax
+    import jax.numpy as jnp
+    from tpudenoise.core.config import default_config
     from tpudenoise.models.faster_rcnn import FasterRCNN
-    m = FasterRCNN(backbone='res50', num_classes=2)
+    from tpudenoise.train.train_step import make_train_step
+
+    cfg = default_config()
+    cfg.RESNET.FIXED_BLOCKS = 0
+    cfg.RESNET.FREEZE_ROOT = False
+    cfg.TRAIN.RPN_PRE_NMS_TOP_N = 128
+    cfg.TRAIN.RPN_POST_NMS_TOP_N = 32
+    cfg.TRAIN.BATCH_SIZE = 16
+    cfg.TRAIN.RPN_BATCHSIZE = 32
+    m = FasterRCNN(backbone='res50', num_classes=2, cfg=cfg)
     params = m.init(jax.random.PRNGKey(0), image_shape=(64, 96))
     u1 = params['head']['block1']['unit_1']
-    assert float(np.abs(u1['bn3']['gamma']).max()) == 0.0
-    assert float(np.abs(u1['bn1']['gamma']).max()) > 0.0
-    assert float(np.abs(u1['shortcut_bn']['gamma']).max()) > 0.0
+    assert float(np.abs(u1['conv3']['kernel']).max()) == 0.0
+    assert float(np.abs(u1['bn3']['gamma']).max()) > 0.0  # NOT the gamma
+    assert float(np.abs(u1['conv1']['kernel']).max()) > 0.0
     t = params['tail']['tail']['block4']['unit_1']
-    assert float(np.abs(t['bn3']['gamma']).max()) == 0.0
+    assert float(np.abs(t['conv3']['kernel']).max()) == 0.0
+
+    init_state, step_fn = make_train_step(m, cfg)
+    state = init_state(jax.random.PRNGKey(3), image_shape=(64, 96))
+    rng = np.random.RandomState(0)
+    batch = {
+        'image': jnp.asarray(rng.randn(1, 64, 96, 3).astype(np.float32)
+                             * 30),
+        'im_info': jnp.asarray([[60., 90., 1.]], jnp.float32),
+        'gt_boxes': jnp.asarray([[[5., 5., 40., 50., 1.]]], jnp.float32),
+        'gt_mask': jnp.ones((1, 1), bool),
+    }
+    state2, losses = step_fn(state, jax.random.PRNGKey(1), batch)
+    assert np.isfinite(float(losses['total_loss']))
+    # a DEEP head residual branch received a real update
+    before = state.params['head']['block3']['unit_1']['conv3']['kernel']
+    after = state2.params['head']['block3']['unit_1']['conv3']['kernel']
+    assert float(np.abs(np.asarray(after) - np.asarray(before)).max()) > 0
 
 
 def test_lr_warmup_schedule():

@@ -134,22 +134,27 @@ class ResNetTail(nn.Module):
 
 
 def zero_init_residual(params):
-    """Zero the final-BN gamma of every bottleneck so each residual unit
-    is identity at init.
+    """Zero the final conv kernel (conv3) of every bottleneck so each
+    residual unit is identity at init.
 
     FrozenBatchNorm never normalizes (it is a loaded affine), so a
     RANDOM-init resnet's activations grow with depth through the residual
     sums — res101 at LR 1e-3 diverges to NaN within two steps.  The
     reference never hits this (it always restores ImageNet stats,
-    resnet_v1.py:175-185); for from-scratch training this standard
-    zero-gamma trick ("Accurate, Large Minibatch SGD", Goyal et al.)
-    makes the net well-conditioned.  Pretrained loads overwrite these
-    gammas, so the transform is a no-op for the checkpoint path."""
+    resnet_v1.py:175-185).  This is the zero-residual-branch trick
+    ("Accurate, Large Minibatch SGD", Goyal et al.) applied to the CONV
+    kernel, NOT the bn3 gamma: frozen_param_filter freezes every BN
+    parameter, so a zeroed gamma would never train and the residual
+    branches would stay permanently dead (zero gradient flows to
+    conv1/conv2/conv3 through a frozen zero scale).  The conv3 kernel IS
+    trainable and has a nonzero gradient at zero weight, so training
+    revives every branch immediately.  Pretrained loads overwrite these
+    kernels, so the transform is a no-op for the checkpoint path."""
     import jax
 
     def fix(path, leaf):
         keys = [getattr(p, 'key', str(p)) for p in path]
-        if len(keys) >= 2 and keys[-2] == 'bn3' and keys[-1] == 'gamma':
+        if len(keys) >= 2 and keys[-2] == 'conv3' and keys[-1] == 'kernel':
             return jnp.zeros_like(leaf)
         return leaf
 
