@@ -19,13 +19,28 @@ import jax.numpy as jnp
 from tpudenoise.ops.color import bgr_u8_to_lab_u8, lab_u8_to_bgr_u8
 
 
-@functools.partial(jax.jit, static_argnames=('k', 'iters'))
-def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25):
-    """Lloyd's k-means with k-means++ init.
+@functools.partial(jax.jit, static_argnames=('k', 'iters', 'sample'))
+def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
+           sample: int = 8192):
+    """Mini-batch k-means with k-means++ init.
 
     points: (N, D) float32.  Returns (centers (k, D), labels (N,)).
+
+    When N > `sample`, the init and Lloyd iterations fit on a random
+    subsample and only the final assignment touches every point — the
+    same estimator family as the reference's sklearn MiniBatchKMeans
+    (which fits on 1024-point batches, ref test.py:592-765) at a
+    fraction of the full-batch cost; sample=0 forces full-batch Lloyd.
     """
+    all_points = points
     n = points.shape[0]
+    if sample and n > sample:
+        key, sub = jax.random.split(key)
+        # with replacement: what MiniBatchKMeans effectively does across
+        # batches, and it avoids a full N-element gumbel sort
+        idx = jax.random.randint(sub, (sample,), 0, n)
+        points = points[idx]
+        n = sample
 
     # --- k-means++ init: sequential over k (k <= 10), each step one
     # (N,) distance reduction ---
@@ -67,8 +82,10 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25):
         return new_centers, None
 
     centers, _ = jax.lax.scan(lloyd, centers, None, length=iters)
+    # final assignment over ALL points (fit may have been subsampled)
+    ax2 = jnp.sum(all_points ** 2, axis=-1, keepdims=True)
     c2 = jnp.sum(centers ** 2, axis=-1)
-    d = x2 - 2.0 * points @ centers.T + c2[None, :]
+    d = ax2 - 2.0 * all_points @ centers.T + c2[None, :]
     labels = jnp.argmin(d, axis=-1)
     return centers, labels
 
@@ -83,5 +100,8 @@ def quantize_colors(key, img_u8: jnp.ndarray, k: int,
     pts = lab.reshape(-1, 3)
     centers, labels = kmeans(key, pts, k=k, iters=iters)
     centers_u8 = jnp.trunc(jnp.clip(centers, 0.0, 255.0))
-    quant = centers_u8[labels].reshape(h, w, 3)
+    # palette map as one-hot matmul, not centers_u8[labels]: a 600k-row
+    # gather costs ~30 ms on v5e, the (N, k) @ (k, 3) matmul is free
+    onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)
+    quant = (onehot @ centers_u8).reshape(h, w, 3)
     return lab_u8_to_bgr_u8(quant)
