@@ -88,3 +88,35 @@ def test_metrics_logger_writes_tfevents(tmp_path):
     scalars = [(v.tag, e.step) for e in EventFileLoader(evs[0]).Load()
                for v in e.summary.value]
     assert ('total_loss', 3) in scalars
+
+
+def test_metrics_logger_image_summary(tmp_path):
+    """log_image writes a TensorBoard IMAGE summary (the reference's
+    gt-annotated image summaries, ref network.py:40-68) viewable in TB."""
+    import pytest
+    pytest.importorskip('torch.utils.tensorboard')
+    pytest.importorskip(
+        'tensorboard.backend.event_processing.event_file_loader')
+    from tpudenoise.utils.logging import MetricsLogger
+    from tpudenoise.utils.visualization import draw_bounding_boxes
+    d = str(tmp_path / 'tb')
+    lg = MetricsLogger(logdir=d, tb_dir=d, quiet=True)
+    img = np.full((40, 60, 3), 128, np.uint8)
+    drawn = draw_bounding_boxes(
+        img, np.array([[5, 5, 30, 30, 1]], np.float32))
+    lg.log_image('train/gt_image', drawn, step=7)
+    lg.close()
+    import glob
+    evs = glob.glob(d + '/events.out.tfevents.*')
+    assert evs
+    from tensorboard.backend.event_processing.event_file_loader import (
+        EventFileLoader)
+    found = [(v.tag, e.step, v.WhichOneof('value'),
+              v.metadata.plugin_data.plugin_name)
+             for ev in evs for e in EventFileLoader(ev).Load()
+             for v in e.summary.value]
+    # writer version dependent: legacy 'image' proto field or the v2
+    # tensor-based format tagged for the images plugin
+    assert any(t == 'train/gt_image' and s == 7
+               and (k == 'image' or plug == 'images')
+               for t, s, k, plug in found), found

@@ -112,3 +112,68 @@ def test_backbone_probe_features_mobile():
     assert set(feats) == set(PROBES['mobile']) | {'head'}
     for p, v in feats.items():
         assert np.asarray(v).ndim == 2 and np.isfinite(np.asarray(v)).all()
+
+
+def test_grid_pool_dyn_matches_static_full_extent():
+    """_grid_pool_dyn(hw = full shape) must equal _grid_pool exactly, and
+    tiny maps must not produce empty bins."""
+    import jax.numpy as jnp
+    from tpudenoise.analysis.twonn import _grid_pool, _grid_pool_dyn
+    rng = np.random.RandomState(0)
+    for h, w in [(7, 9), (16, 16), (2, 5), (38, 50)]:
+        feat = jnp.asarray(rng.randn(h, w, 6).astype(np.float32))
+        want = np.asarray(_grid_pool(feat, 4))
+        got = np.asarray(_grid_pool_dyn(
+            feat, jnp.asarray([h, w], jnp.int32), 4))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_pool_dyn_ignores_padding():
+    """Pooling the valid region of a zero-padded map == pooling the
+    unpadded map: padding must not bias the ID probe features."""
+    import jax.numpy as jnp
+    from tpudenoise.analysis.twonn import _grid_pool_dyn
+    rng = np.random.RandomState(1)
+    feat = rng.randn(19, 23, 4).astype(np.float32)
+    padded = np.zeros((32, 40, 4), np.float32)
+    padded[:19, :23] = feat
+    a = np.asarray(_grid_pool_dyn(jnp.asarray(feat),
+                                  jnp.asarray([19, 23], jnp.int32), 4))
+    b = np.asarray(_grid_pool_dyn(jnp.asarray(padded),
+                                  jnp.asarray([19, 23], jnp.int32), 4))
+    np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_probe_fn_padded_vs_unpadded_vgg():
+    """make_probe_fn with hw on a bucket-padded image matches the
+    unpadded forward's probes at the shallow layers (exact at stride 1;
+    near-exact while the receptive field is small).  Deep vgg probes on a
+    toy 48x80 image have ~200 px receptive fields, so padding-region
+    features bleed into the valid region through the convs themselves —
+    the masked pool removes the *pooling* bias (test above proves that
+    mechanism directly), not conv-boundary bleed."""
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.analysis.twonn import make_probe_fn
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    m = FasterRCNN(backbone='vgg16', num_classes=2, dtype=jnp.float32)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(64, 96))
+    fn = make_probe_fn(m, grid=2)
+    rng = np.random.RandomState(3)
+    img = rng.randn(48, 80, 3).astype(np.float32)
+    padded = np.zeros((64, 96, 3), np.float32)
+    padded[:48, :80] = img
+    hw = jnp.asarray([[48, 80]], jnp.int32)
+    un = fn(params, img[None], hw)
+    pa = fn(params, padded[None], hw)
+    pa_full = fn(params, padded[None], jnp.asarray([[64, 96]], jnp.int32))
+    np.testing.assert_allclose(np.asarray(pa['conv1_1']),
+                               np.asarray(un['conv1_1']),
+                               rtol=1e-5, atol=1e-5)
+    for p, tol in [('conv1_2', 0.03), ('conv2_2', 0.08)]:
+        a, b = np.asarray(un[p]), np.asarray(pa[p])
+        scale = np.abs(a).max()
+        assert np.abs(b - a).max() < tol * scale, p
+        # and strictly better than pooling the full padded map
+        c = np.asarray(pa_full[p])
+        assert np.abs(b - a).max() < np.abs(c - a).max(), p

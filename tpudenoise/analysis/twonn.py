@@ -139,33 +139,81 @@ def _grid_pool(feat: jnp.ndarray, grid: int) -> jnp.ndarray:
     return jnp.concatenate(cells).astype(jnp.float32)
 
 
+def _grid_pool_dyn(feat: jnp.ndarray, hw, grid: int) -> jnp.ndarray:
+    """_grid_pool restricted to the valid (non-padded) top-left hw region,
+    with DYNAMIC hw (traced int32 (2,)): bin-membership row/col weight
+    matrices turn the adaptive pool into two small matmuls, so zero-pad
+    rows/columns of bucket-padded images never enter the cells (the
+    reference's ID study samples activations of the unpadded image).
+    Matches _grid_pool bit-for-bit when hw == feat.shape[:2]."""
+    h_full, w_full, c = feat.shape
+    h, w = hw[0], hw[1]
+    ar = jnp.arange(grid + 1, dtype=jnp.float32)
+    hb = jnp.floor(ar * h.astype(jnp.float32) / grid).astype(jnp.int32)
+    wb = jnp.floor(ar * w.astype(jnp.float32) / grid).astype(jnp.int32)
+    # same collapse rules as _grid_pool.cell: y0 = min(hb[i], h-1),
+    # y1 = max(hb[i+1], y0+1)
+    y0 = jnp.minimum(hb[:-1], h - 1)
+    y1 = jnp.maximum(hb[1:], y0 + 1)
+    x0 = jnp.minimum(wb[:-1], w - 1)
+    x1 = jnp.maximum(wb[1:], x0 + 1)
+    rows = jnp.arange(h_full, dtype=jnp.int32)
+    cols = jnp.arange(w_full, dtype=jnp.int32)
+    rw = ((rows[None, :] >= y0[:, None])
+          & (rows[None, :] < y1[:, None])).astype(jnp.float32)  # (g, H)
+    cw = ((cols[None, :] >= x0[:, None])
+          & (cols[None, :] < x1[:, None])).astype(jnp.float32)  # (g, W)
+    f32 = feat.astype(jnp.float32)
+    tmp = jnp.einsum('gh,hwc->gwc', rw, f32)
+    sums = jnp.einsum('jw,gwc->gjc', cw, tmp)                   # (g, g, C)
+    counts = ((y1 - y0)[:, None] * (x1 - x0)[None, :]
+              ).astype(jnp.float32)[..., None]
+    return (sums / counts).reshape(-1)
+
+
 def make_probe_fn(model, grid: int = 4):
     """Jitted per-layer activation collector for the ID study.
 
-    Returns fn(params, images (B,H,W,3) preprocessed) ->
+    Returns fn(params, images (B,H,W,3) preprocessed, hw=None) ->
     {probe: (B, grid*grid*C_probe)} for every probe in
     PROBES[model.backbone] plus 'head' (the stride-16 feature map).
     Activations are captured with flax capture_intermediates — the JAX
     analogue of the reference's graph.get_tensor_by_name + sess.run per
     probe (test.py:1919-2218), in ONE forward instead of one per probe.
+
+    hw: optional (B, 2) int32 valid (h, w) extents of bucket-padded
+    inputs; when given, each probe pools only over the valid region at
+    that layer's stride (ceil(hw / stride)), so padding never biases the
+    ID estimate.
     """
     probes = PROBES.get(model.backbone, [])
     leaf = {p.split('/')[-1] for p in probes}
 
-    def run(params, images):
+    def run(params, images, hw=None):
         feat, state = model.head_mod.apply(
             {'params': params['head']}, images,
             capture_intermediates=lambda mdl, _: mdl.name in leaf,
             mutable=['intermediates'])
         inter = state['intermediates']
+        h_in, w_in = images.shape[1], images.shape[2]
+
+        def pool(arr):
+            if hw is None:
+                return jax.vmap(lambda f: _grid_pool(f, grid))(arr)
+            # SAME-padded stride chain: layer extent = ceil(valid / s)
+            sy, sx = h_in // arr.shape[1], w_in // arr.shape[2]
+            hw_l = jnp.stack([-(-hw[:, 0] // sy), -(-hw[:, 1] // sx)],
+                             axis=1)
+            return jax.vmap(
+                lambda f, e: _grid_pool_dyn(f, e, grid))(arr, hw_l)
+
         out = {}
         for p in probes:
             node = inter
             for part in p.split('/'):
                 node = node[part]
-            arr = node['__call__'][0]
-            out[p] = jax.vmap(lambda f: _grid_pool(f, grid))(arr)
-        out['head'] = jax.vmap(lambda f: _grid_pool(f, grid))(feat)
+            out[p] = pool(node['__call__'][0])
+        out['head'] = pool(feat)
         return out
 
     return jax.jit(run)

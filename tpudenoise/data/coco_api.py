@@ -138,7 +138,30 @@ class COCOeval:
         self.cat_ids = sorted(cocoGt.getCatIds())
         self.stats = None
         self._per_img = {}
+        self._fetch_cache = {}
         self.eval = {}
+
+    def _fetch(self, img_id, cat_id):
+        """Anns + score-sorted dts + IoU matrix for one (image, category),
+        computed ONCE and reused across the 4 area ranges (pycocotools
+        likewise caches computeIoU; recomputing per range made the
+        pure-python fallback 4x slower than it already is)."""
+        key = (img_id, cat_id)
+        if key not in self._fetch_cache:
+            gts = [self.gt.anns[i] for i in
+                   self.gt.getAnnIds(imgIds=[img_id], catIds=[cat_id])]
+            dts = [self.dt.anns[i] for i in
+                   self.dt.getAnnIds(imgIds=[img_id], catIds=[cat_id])]
+            dts = sorted(dts, key=lambda d: -d['score'])[:max(MAX_DETS)]
+            crowd = np.array([bool(g.get('iscrowd')) for g in gts], bool)
+            ious = _bbox_iou(
+                np.array([d['bbox'] for d in dts],
+                         np.float64).reshape(-1, 4),
+                np.array([g['bbox'] for g in gts],
+                         np.float64).reshape(-1, 4),
+                crowd)
+            self._fetch_cache[key] = (gts, dts, ious)
+        return self._fetch_cache[key]
 
     def _match_one(self, img_id, cat_id, lo, hi):
         """Greedy matching for ONE area range: gts outside [lo, hi] (or
@@ -146,11 +169,7 @@ class COCOeval:
         match even when an out-of-range gt overlaps better — the standard
         per-range re-matching (only the 'all' range would survive a
         single global match)."""
-        gts = [self.gt.anns[i] for i in
-               self.gt.getAnnIds(imgIds=[img_id], catIds=[cat_id])]
-        dts = [self.dt.anns[i] for i in
-               self.dt.getAnnIds(imgIds=[img_id], catIds=[cat_id])]
-        dts = sorted(dts, key=lambda d: -d['score'])[:max(MAX_DETS)]
+        gts0, dts, ious0 = self._fetch(img_id, cat_id)
 
         def area(g):
             return g.get('area', g['bbox'][2] * g['bbox'][3])
@@ -159,14 +178,14 @@ class COCOeval:
             return (bool(g.get('iscrowd')) or area(g) < lo
                     or area(g) > hi)
 
-        # ignored gts sort last so real gts win ties
-        gts = sorted(gts, key=ignored)
+        # ignored gts sort last so real gts win ties; permute the cached
+        # IoU columns instead of recomputing (crowd handling is per-gt,
+        # so column permutation is exact)
+        order = sorted(range(len(gts0)), key=lambda gi: ignored(gts0[gi]))
+        gts = [gts0[gi] for gi in order]
         crowd = np.array([bool(g.get('iscrowd')) for g in gts], bool)
         g_ig = np.array([ignored(g) for g in gts], bool)
-        ious = _bbox_iou(
-            np.array([d['bbox'] for d in dts], np.float64).reshape(-1, 4),
-            np.array([g['bbox'] for g in gts], np.float64).reshape(-1, 4),
-            crowd)
+        ious = ious0[:, order] if len(gts0) else ious0
         T, D, G = len(IOU_THRS), len(dts), len(gts)
         dt_match = np.zeros((T, D), np.int64)     # 1 + matched gt index
         gt_match = np.zeros((T, G), np.int64)
@@ -193,6 +212,11 @@ class COCOeval:
                 'n_gt': int((~g_ig).sum())}
 
     def evaluate(self):
+        if len(self.img_ids) * len(self.cat_ids) > 100_000:
+            print('WARNING: pure-python COCO eval fallback on '
+                  f'{len(self.img_ids)} images x {len(self.cat_ids)} '
+                  'categories — this is slow at full-COCO scale; install '
+                  'pycocotools for the C-accelerated evaluator.')
         for img_id in self.img_ids:
             for cat_id in self.cat_ids:
                 for rng_name, (lo, hi) in AREA_RNG.items():

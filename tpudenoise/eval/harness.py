@@ -144,7 +144,11 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
         timers['im_detect'].toc()
 
         if feats is not None:
-            for p, v in probe_fn(params, jnp.asarray(padded)[None]).items():
+            # probe only the valid (ph, pw) region — bucket padding must
+            # not enter the pooled ID features
+            hw = jnp.asarray([[ph, pw]], jnp.int32)
+            for p, v in probe_fn(params, jnp.asarray(padded)[None],
+                                 hw).items():
                 feats.setdefault(p, []).append(np.asarray(v[0]))
 
         timers['misc'].tic()
@@ -186,24 +190,26 @@ def _finish_eval(all_boxes, feats, imdb_obj, output_dir):
     print(f'Evaluating detections (artifacts in {output_dir})')
 
 
-_BATCHED_EVAL_FNS = {}
-
-
 def _batched_eval_fns(model, num_classes, nms, thresh, max_per_image):
     """Jitted vmapped forward + postprocess, memoized per (model, eval
     params) so multi-config sweeps (e.g. experiments/noise_grid.py: one
     model, 39 noise configs) compile the detector ONCE instead of per
     test_net_batched call.  params rides as an argument, not a closure.
 
+    The cache lives ON the model instance (not module-global), so a sweep
+    constructing many FasterRCNN objects releases each model's jitted
+    executables with the model instead of retaining them process-wide.
+
     forward_test reads model._cfg.TEST.* at trace time, so those knobs
     join the cache key — mutating cfg.TEST between calls (the
     test_e2e/dryrun pattern) must re-trace, not reuse a stale program."""
     T = model._cfg.TEST
-    key = (model, num_classes, float(nms), float(thresh),
+    cache = model.__dict__.setdefault('_batched_eval_fns_cache', {})
+    key = (num_classes, float(nms), float(thresh),
            int(max_per_image), T.MODE, int(T.RPN_TOP_N),
            int(T.RPN_PRE_NMS_TOP_N), int(T.RPN_POST_NMS_TOP_N),
            float(T.RPN_NMS_THRESH))
-    if key not in _BATCHED_EVAL_FNS:
+    if key not in cache:
         fwd = jax.jit(jax.vmap(
             lambda params, im, info: model.forward_test(params, im, info),
             in_axes=(None, 0, 0)))
@@ -212,8 +218,8 @@ def _batched_eval_fns(model, num_classes, nms, thresh, max_per_image):
                 rois, mask, prob, pred, info, num_classes, nms,
                 thresh, max_per_class=max_per_image),
             in_axes=(0, 0, 0, 0, 0)))
-        _BATCHED_EVAL_FNS[key] = (fwd, post)
-    return _BATCHED_EVAL_FNS[key]
+        cache[key] = (fwd, post)
+    return cache[key]
 
 
 def test_net_batched(model, params, imdb_obj, weights_filename: str,
@@ -305,7 +311,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             bx, sc, mk = (np.asarray(boxes_c), np.asarray(scores_c),
                           np.asarray(mask_c))
             if feats is not None:
-                for p, v in probe_fn(params, imgs).items():
+                hw = infos[:, :2].astype(jnp.int32)
+                for p, v in probe_fn(params, imgs, hw).items():
                     feats.setdefault(p, []).extend(np.asarray(v)[:n_real])
             for j, i in enumerate(chunk[:n_real]):
                 mkj = limit_per_image(bx[j], sc[j], mk[j], max_per_image)

@@ -40,6 +40,15 @@ _FILTERS = {
 }
 
 
+def _to_u8(images: jnp.ndarray) -> jnp.ndarray:
+    """Exact-on-contract uint8 cast for the fused kernels' u8 DMA path:
+    inputs are documented as integral u8-domain floats (cast exact), but a
+    caller passing unit-floats or other non-integral values would get
+    silent truncation/wrap to near-black — round+clip first (free on TPU:
+    fuses into the surrounding program)."""
+    return jnp.clip(jnp.round(images), 0, 255).astype(jnp.uint8)
+
+
 def _apply_wavelet_from_float(imgf: jnp.ndarray) -> jnp.ndarray:
     """denoise_wavelet on a float image then (255*out).astype(u8) wrap
     (ref test.py:197-201)."""
@@ -217,15 +226,16 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
             double = plan.post_denoise == Denoise.MEDIAN
 
             # the kernel's uint8 I/O path moves 4x fewer HBM bytes each
-            # way and is bit-identical (f32 compute in registers); inputs
-            # are integral u8-domain values, so the cast is exact, and the
-            # f32 output cast keeps the pipeline contract
+            # way and is bit-identical (f32 compute in registers); the
+            # round+clip makes the documented integral-u8-domain contract
+            # robust to float inputs (no silent wrap to near-black), and
+            # the f32 output cast keeps the pipeline contract
             @jax.jit
             def run_sap(key, images):
                 seeds = jax.random.randint(
                     key, (images.shape[0],), 0, 2**31 - 1)
                 out = fused_sap_median_batched(
-                    images.astype(jnp.uint8), seeds, amount, double)
+                    _to_u8(images), seeds, amount, double)
                 return out.astype(jnp.float32)
 
             @jax.jit
@@ -235,7 +245,7 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                 seeds = jax.vmap(lambda k: jax.random.randint(
                     k, (1,), 0, 2**31 - 1)[0])(keys)
                 out = fused_sap_median_batched(
-                    images.astype(jnp.uint8), seeds, amount, double)
+                    _to_u8(images), seeds, amount, double)
                 return out.astype(jnp.float32)
 
             run_sap.keyed = run_sap_keyed
@@ -250,9 +260,9 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                       else [s.level])
 
             def _gauss_impl(seeds, sigmas, images):
-                # uint8 kernel I/O (exact: integral u8-domain values),
-                # f32 output for the pipeline contract
-                images = images.astype(jnp.uint8)
+                # uint8 kernel I/O (round+clip guards non-integral
+                # inputs), f32 output for the pipeline contract
+                images = _to_u8(images)
                 if sigmas is None:
                     out = fused_gaussian_blur(images, seeds, levels[0],
                                               double)

@@ -163,6 +163,25 @@ class Solver:
         batch['gt_mask'] = jnp.asarray(batch['gt_mask'])
         return batch
 
+    def _log_gt_image_summary(self, batch, it: int):
+        """gt-box-annotated training image -> TensorBoard image summary
+        (ref lib/nets/network.py:40-68 _add_gt_image_summary +
+        lib/utils/visualization.py:50-89): add the pixel means back,
+        BGR->RGB, crop the bucket padding, draw the gt boxes (already in
+        network-input coordinates)."""
+        if self.logger._tb is None and self.logger._wandb is None:
+            return
+        from tpudenoise.utils.visualization import draw_bounding_boxes
+        img = (np.asarray(batch['image'][0])
+               + np.asarray(self.cfg.PIXEL_MEANS, np.float32))
+        h, w = (int(np.asarray(batch['im_info'][0][0])),
+                int(np.asarray(batch['im_info'][0][1])))
+        img = img[:h, :w, ::-1]
+        gtm = np.asarray(batch['gt_mask'][0])
+        gtb = np.asarray(batch['gt_boxes'][0])[gtm]
+        self.logger.log_image('train/gt_image',
+                              draw_bounding_boxes(img, gtb), step=it)
+
     def train_model(self, max_iters: int, resume: bool = True):
         C = self.cfg
         loader = RoiDataLoader(self.roidb, self.imdb.num_classes, C,
@@ -207,13 +226,14 @@ class Solver:
                     raise FloatingPointError(
                         f'non-finite loss at iter {it}: {vals} — '
                         f'aborting (set TRAIN.NAN_ABORT False to ignore)')
-            if (time.time() - last_summary > C.TRAIN.SUMMARY_INTERVAL
-                    and self.valroidb):
-                key, k_vn, k_vs = jax.random.split(key, 3)
-                vbatch = self._prep_batch(k_vn, val_loader.forward())
-                _, vlosses = self._step_fn(state, k_vs, vbatch)
-                self.logger.log({'val_' + k: float(v)
-                                 for k, v in vlosses.items()}, step=it)
+            if time.time() - last_summary > C.TRAIN.SUMMARY_INTERVAL:
+                self._log_gt_image_summary(batch, it)
+                if self.valroidb:
+                    key, k_vn, k_vs = jax.random.split(key, 3)
+                    vbatch = self._prep_batch(k_vn, val_loader.forward())
+                    _, vlosses = self._step_fn(state, k_vs, vbatch)
+                    self.logger.log({'val_' + k: float(v)
+                                     for k, v in vlosses.items()}, step=it)
                 last_summary = time.time()
             if it % C.TRAIN.SNAPSHOT_ITERS == 0:
                 self.snapshot(state, key, loader, val_loader, it)

@@ -65,6 +65,20 @@ class MetricsLogger:
         if self._wandb:
             self._wandb.log(metrics, step=step)
 
+    def log_image(self, tag: str, image, step: Optional[int] = None):
+        """Image summary -> tfevents (and wandb when active): the
+        reference's gt-annotated training-image summaries
+        (ref lib/nets/network.py:40-68 _add_gt_image_summary).
+        image: (H, W, 3) uint8 RGB."""
+        import numpy as np
+        image = np.ascontiguousarray(image)
+        if self._tb:
+            self._tb.add_image(tag, image, global_step=step,
+                               dataformats='HWC')
+            self._tb.flush()
+        if self._wandb:
+            self._wandb.log({tag: self._wandb.Image(image)}, step=step)
+
     def close(self):
         if self._jsonl:
             self._jsonl.close()
