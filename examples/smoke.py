@@ -17,7 +17,7 @@ def main():
     from tpudenoise.noise.pipeline import make_pipeline
     from tpudenoise.ops.anchors import anchor_grid, generate_anchors
     from tpudenoise.ops.boxes import bbox_transform_inv, clip_boxes
-    from tpudenoise.ops.nms import nms_fixpoint
+    from tpudenoise.ops.nms import nms_fixpoint, nms_packed
 
     print('platform:', jax.default_backend(), jax.devices()[0].device_kind)
 
@@ -35,6 +35,15 @@ def main():
     top_scores, idx = jax.lax.top_k(scores, k)
     sel, mask = nms_fixpoint(boxes[idx], top_scores, 0.7, max_outputs=100)
     print('nms keep:', int(jnp.sum(mask)), 'of', k)
+
+    # bit-packed NMS (Pallas mask kernel on TPU) must agree with the
+    # dense fixpoint on the same problem
+    selp, maskp = nms_packed(boxes[idx], top_scores, 0.7, max_outputs=100)
+    kept_dense = set(np.asarray(sel)[np.asarray(mask)].tolist())
+    kept_packed = set(np.asarray(selp)[np.asarray(maskp)].tolist())
+    assert kept_packed == kept_dense, (
+        len(kept_packed), len(kept_dense))
+    print('nms_packed keep:', len(kept_packed), '(matches dense)')
 
     fn = make_pipeline('sap_median_var0.4', mode='TEST')
     img = jnp.asarray(rng.randint(0, 256, (1, 120, 160, 3))

@@ -4,7 +4,9 @@
 import numpy as np
 import pytest
 
-from tpudenoise.ops.nms import nms, nms_fixpoint, nms_py
+from tpudenoise.ops.nms import (build_suppression_masks,
+                                build_suppression_masks_pallas, nms,
+                                nms_fixpoint, nms_packed, nms_py)
 
 
 def _rand_dets(rng, n, scale=200.0):
@@ -12,7 +14,10 @@ def _rand_dets(rng, n, scale=200.0):
     y1 = rng.uniform(0, scale, n)
     w = rng.uniform(5, 80, n)
     h = rng.uniform(5, 80, n)
-    scores = rng.uniform(0, 1, n)
+    # unique scores: greedy order under ties is implementation-defined
+    # (reference argsort()[::-1] reverses index order, device argsort is
+    # stable — same kept SET, different order; see nms() docstring)
+    scores = rng.permutation(n).astype(np.float64) / n
     return np.stack([x1, y1, x1 + w, y1 + h, scores], axis=1).astype(
         np.float32)
 
@@ -80,6 +85,69 @@ def test_nms_chain_not_oversuppressed():
     for fn in (nms, nms_fixpoint):
         keep, mask = fn(boxes, scores, 0.7, max_outputs=3)
         assert list(np.asarray(keep)[np.asarray(mask)]) == [0, 2]
+
+
+@pytest.mark.parametrize('seed', [0, 1, 2])
+@pytest.mark.parametrize('n,thresh', [(200, 0.3), (300, 0.7), (900, 0.5),
+                                      (1300, 0.7)])
+def test_nms_packed_matches_oracle(seed, n, thresh):
+    """Packed-bitmask NMS == py_cpu_nms greedy, across tile boundaries
+    (n > 512 exercises multi-tile mask builds + internal padding)."""
+    rng = np.random.RandomState(seed)
+    dets = _rand_dets(rng, n)
+    want = nms_py(dets, thresh)
+    keep, mask = nms_packed(dets[:, :4], dets[:, 4], thresh, max_outputs=n)
+    got = list(np.asarray(keep)[np.asarray(mask)])
+    assert got == want
+
+
+def test_nms_packed_truncation_valid_and_chain():
+    rng = np.random.RandomState(7)
+    dets = _rand_dets(rng, 600)
+    want = nms_py(dets, 0.7)[:20]
+    keep, mask = nms_packed(dets[:, :4], dets[:, 4], 0.7, max_outputs=20)
+    assert list(np.asarray(keep)[np.asarray(mask)]) == want
+
+    valid = rng.uniform(size=600) > 0.5
+    orig_idx = np.where(valid)[0]
+    want = [int(orig_idx[i]) for i in nms_py(dets[valid], 0.5)]
+    keep, mask = nms_packed(dets[:, :4], dets[:, 4], 0.5, max_outputs=600,
+                            valid=valid)
+    assert list(np.asarray(keep)[np.asarray(mask)]) == want
+
+    # suppression chain: A kills B; dead B must not kill C
+    boxes = np.array([[0, 0, 100, 100], [0, 0, 80, 100], [0, 0, 60, 100]],
+                     dtype=np.float32)
+    scores = np.array([0.9, 0.8, 0.7], dtype=np.float32)
+    keep, mask = nms_packed(boxes, scores, 0.7, max_outputs=3)
+    assert list(np.asarray(keep)[np.asarray(mask)]) == [0, 2]
+
+
+@pytest.mark.parametrize('n,tile', [(512, 512), (1024, 512), (256, 128)])
+def test_packed_mask_builders_bit_identical(n, tile):
+    """The Pallas tile kernel (interpret mode on CPU) and the XLA tile
+    scan produce the same packed suppression words."""
+    rng = np.random.RandomState(3)
+    dets = _rand_dets(rng, n)
+    order = np.argsort(-dets[:, 4])
+    sboxes = dets[order, :4].astype(np.float32)
+    want = np.asarray(build_suppression_masks(sboxes, 0.5, block=tile))
+    got = np.asarray(build_suppression_masks_pallas(sboxes, 0.5, tile=tile,
+                                                    interpret=True))
+    np.testing.assert_array_equal(got, want)
+    # sanity vs the dense formulation: unpack and compare to raw IoU>t
+    from tpudenoise.ops.nms import _iou_tile
+    import jax.numpy as jnp
+    iou = np.asarray(_iou_tile(*(jnp.asarray(sboxes[:, k]) for k in
+                                 range(4)),
+                               *(jnp.asarray(sboxes[:, k]) for k in
+                                 range(4))))
+    dense = (iou > 0.5) & (np.arange(n)[:, None] < np.arange(n)[None, :])
+    unpacked = np.zeros((n, n), bool)
+    for wi in range(n // 32):
+        for b in range(32):
+            unpacked[wi * 32 + b] = (want[wi] >> b) & 1
+    np.testing.assert_array_equal(unpacked, dense)
 
 
 def test_nms_empty_valid():

@@ -32,6 +32,8 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = jnp.finfo(jnp.float32).min
 
@@ -157,6 +159,186 @@ def nms_fixpoint(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
     # rank-among-kept into its output slot (OOB ranks dropped)
     rank = jnp.cumsum(alive) - 1
     slot = jnp.where(alive, rank, max_outputs)  # dead boxes scatter OOB
+    keep_sorted = jnp.full((max_outputs,), -1, dtype=jnp.int32).at[slot].set(
+        jnp.arange(n, dtype=jnp.int32), mode='drop')
+    keep_mask = keep_sorted >= 0
+    keep = jnp.where(keep_mask, order[jnp.maximum(keep_sorted, 0)], -1)
+    return keep.astype(jnp.int32), keep_mask
+
+
+# ---------------------------------------------------------------------
+# Bit-packed NMS: the true re-expression of the CUDA bitmask kernel
+# (ref lib/nms/nms_kernel.cu:34-78: 64x64 IoU tiles -> 64-bit suppression
+# masks).  Here the suppression matrix over the score-sorted order is
+# materialized as (N/32, N) int32 words — bit b of word [wi, j] says
+# "box i = wi*32+b suppresses box j" (i < j, IoU > t) — 32x smaller than
+# the dense f32 IoU + bool masks of `nms_fixpoint` (18 MB vs 576+ MB at
+# the reference's 12,000-box train budget, config.py:145-148), then swept
+# to the exact greedy fixpoint over the packed words.
+# ---------------------------------------------------------------------
+
+_PACK = 32  # bits per mask word
+
+
+def _pack_bits(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., K*32) bool -> (..., K) int32 words; bit b of word w covers
+    element w*32+b.  int32 (not uint32): Mosaic has no unsigned
+    reductions, and summing disjoint bits is bitwise-OR in two's
+    complement regardless of sign."""
+    shape = bits.shape[:-1] + (bits.shape[-1] // _PACK, _PACK)
+    b3 = bits.reshape(shape).astype(jnp.int32)
+    shifts = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jnp.sum(b3 << shifts, axis=-1)
+
+
+def _iou_tile(bx1, by1, bx2, by2, x1, y1, x2, y2):
+    """IoU of a row-block (TI,) of boxes vs all (N,) boxes -> (TI, N),
+    +1 convention."""
+    ba = (bx2 - bx1 + 1.0) * (by2 - by1 + 1.0)
+    areas = (x2 - x1 + 1.0) * (y2 - y1 + 1.0)
+    xx1 = jnp.maximum(bx1[:, None], x1[None, :])
+    yy1 = jnp.maximum(by1[:, None], y1[None, :])
+    xx2 = jnp.minimum(bx2[:, None], x2[None, :])
+    yy2 = jnp.minimum(by2[:, None], y2[None, :])
+    w = jnp.maximum(0.0, xx2 - xx1 + 1.0)
+    h = jnp.maximum(0.0, yy2 - yy1 + 1.0)
+    inter = w * h
+    return inter / (ba[:, None] + areas[None, :] - inter)
+
+
+def build_suppression_masks(sboxes: jnp.ndarray, iou_threshold,
+                            block: int = 512) -> jnp.ndarray:
+    """Packed suppression masks over score-SORTED boxes, XLA tile scan.
+
+    Scans i-row blocks so the peak temporary is one (block, N) f32 IoU
+    tile, never the full (N, N).  Returns (N/32, N) int32 words.  N must be a
+    multiple of `block` (and block of 32) — `nms_packed` pads.
+    """
+    n = sboxes.shape[0]
+    assert n % block == 0 and block % _PACK == 0, (n, block)
+    x1, y1, x2, y2 = (sboxes[:, k].astype(jnp.float32) for k in range(4))
+    j_ids = jax.lax.broadcasted_iota(jnp.int32, (block, n), 1)
+
+    def step(_, i0):
+        sl = lambda v: jax.lax.dynamic_slice(v, (i0,), (block,))
+        iou = _iou_tile(sl(x1), sl(y1), sl(x2), sl(y2), x1, y1, x2, y2)
+        i_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (block, n), 0)
+        m = (iou > iou_threshold) & (i_ids < j_ids)
+        return None, _pack_bits(m.swapaxes(-1, -2)).swapaxes(-1, -2)
+
+    _, words = jax.lax.scan(step, None,
+                            jnp.arange(0, n, block, dtype=jnp.int32))
+    return words.reshape(n // _PACK, n)
+
+
+def _mask_tile_kernel(thresh_ref, rows_ref, cols_ref, out_ref):
+    """One (TI, TJ) IoU tile -> (TI/32, TJ) packed suppression words
+    (the Pallas analogue of one 64x64 CUDA block, nms_kernel.cu:34-78)."""
+    ti = rows_ref.shape[0]
+    tj = cols_ref.shape[1]
+    i0 = pl.program_id(0) * ti
+    j0 = pl.program_id(1) * tj
+    bx1, by1 = rows_ref[:, 0], rows_ref[:, 1]
+    bx2, by2 = rows_ref[:, 2], rows_ref[:, 3]
+    x1, y1 = cols_ref[0, :], cols_ref[1, :]
+    x2, y2 = cols_ref[2, :], cols_ref[3, :]
+    iou = _iou_tile(bx1, by1, bx2, by2, x1, y1, x2, y2)
+    i_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+    j_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+    m = (iou > thresh_ref[0]) & (i_ids < j_ids)
+    b3 = m.reshape(ti // _PACK, _PACK, tj).astype(jnp.int32)
+    shifts = jax.lax.broadcasted_iota(jnp.int32, (ti // _PACK, _PACK, tj),
+                                      1)
+    out_ref[...] = jnp.sum(b3 << shifts, axis=1)
+
+
+def build_suppression_masks_pallas(sboxes: jnp.ndarray, iou_threshold,
+                                   tile: int = 512,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """Pallas twin of `build_suppression_masks`: grid of (TI, TJ) IoU
+    tiles, each reduced in VMEM to packed int32 words — no O(N^2) f32
+    ever leaves registers.  N must be a multiple of `tile`."""
+    n = sboxes.shape[0]
+    assert n % tile == 0 and tile % _PACK == 0, (n, tile)
+    rows = sboxes.astype(jnp.float32)                      # (N, 4)
+    cols = rows.T                                          # (4, N)
+    thresh = jnp.asarray([iou_threshold], jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # thresh rides SMEM
+        grid=(n // tile, n // tile),
+        in_specs=[
+            pl.BlockSpec((tile, 4), lambda i, j, *_: (i, 0)),
+            pl.BlockSpec((4, tile), lambda i, j, *_: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((tile // _PACK, tile),
+                               lambda i, j, *_: (i, j)),
+    )
+    return pl.pallas_call(
+        _mask_tile_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n // _PACK, n), jnp.int32),
+        interpret=interpret,
+    )(thresh, rows, cols)
+
+
+@functools.partial(jax.jit, static_argnames=('max_outputs', 'max_iters',
+                                             'use_pallas', 'interpret'))
+def nms_packed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
+               max_outputs: int, valid: jnp.ndarray | None = None,
+               max_iters: int | None = None,
+               use_pallas: bool | None = None, interpret: bool = False):
+    """Exact greedy NMS via bit-packed suppression masks + fixpoint sweeps.
+
+    Same contract and result as `nms_fixpoint` (proven equal to the
+    py_cpu_nms greedy oracle) but the O(N^2) state is (N/32, N) packed int32 bit-words —
+    use for the RPN proposal budgets (12,000 train / 6,000 test) where the
+    dense formulation's f32 IoU matrix would dominate HBM.
+
+    use_pallas None = auto (Pallas tile kernel on TPU, XLA tile scan
+    elsewhere); the two builders are bit-identical.
+    """
+    n_in = boxes.shape[0]
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == 'tpu'
+    # tile >= 256 keeps the packed output block (tile//32, tile) on the
+    # Mosaic (8, 128) tiling grid; 512 amortizes grid overhead for the
+    # real RPN budgets
+    tile = 512 if n_in >= 512 else 256
+    n = ((n_in + tile - 1) // tile) * tile
+    scores = scores.astype(jnp.float32)
+    if valid is not None:
+        scores = jnp.where(valid, scores, NEG_INF)
+    boxes = jnp.pad(boxes.astype(jnp.float32), ((0, n - n_in), (0, 0)))
+    scores = jnp.pad(scores, (0, n - n_in), constant_values=NEG_INF)
+    if max_iters is None:
+        max_iters = n
+    order = jnp.argsort(-scores)
+    sboxes = boxes[order]
+    in_valid = scores[order] > NEG_INF
+
+    if use_pallas:
+        masks = build_suppression_masks_pallas(sboxes, iou_threshold,
+                                               tile=tile,
+                                               interpret=interpret)
+    else:
+        masks = build_suppression_masks(sboxes, iou_threshold, block=tile)
+
+    def cond(state):
+        k, alive, changed = state
+        return changed & (k < max_iters)
+
+    def body(state):
+        k, alive, _ = state
+        alive_p = _pack_bits(alive)                       # (N/32,)
+        suppressed = jnp.any((masks & alive_p[:, None]) != 0, axis=0)
+        new_alive = in_valid & ~suppressed
+        return k + 1, new_alive, jnp.any(new_alive != alive)
+
+    _, alive, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), in_valid, jnp.bool_(True)))
+
+    rank = jnp.cumsum(alive) - 1
+    slot = jnp.where(alive, rank, max_outputs)
     keep_sorted = jnp.full((max_outputs,), -1, dtype=jnp.int32).at[slot].set(
         jnp.arange(n, dtype=jnp.int32), mode='drop')
     keep_mask = keep_sorted >= 0
