@@ -32,6 +32,29 @@ def make_mesh(mesh_shape=None, axis_names=None, devices=None) -> Mesh:
     return Mesh(dev_array, tuple(axis_names))
 
 
+def production_mesh(cfg, batch_size: int | None = None,
+                    quiet: bool = False) -> Mesh | None:
+    """The mesh the production entry points (Solver.train_model,
+    test_net_batched) run on: cfg.TPU.MESH_SHAPE over all visible devices
+    when there is more than one AND the batch divides evenly; otherwise
+    None (single-device execution, the reference's regime).
+
+    A user running cli/trainval.py on an 8-chip pod slice with --batch 8
+    gets true data parallelism without further flags."""
+    devices = jax.devices()
+    if len(devices) <= 1:
+        return None
+    mesh = make_mesh(cfg.TPU.MESH_SHAPE, cfg.TPU.MESH_AXES, devices)
+    n = mesh.devices.size
+    if batch_size is not None and batch_size % n != 0:
+        if not quiet:
+            print(f'NOTE: batch size {batch_size} does not divide the '
+                  f'{n}-device mesh — running single-device. Use a batch '
+                  f'that is a multiple of {n} for data parallelism.')
+        return None
+    return mesh
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) dim over the 'data' axis."""
     return NamedSharding(mesh, P('data'))

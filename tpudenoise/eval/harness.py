@@ -77,6 +77,34 @@ def limit_per_image(boxes_c, scores_c, mask_c, max_per_image: int):
     return mask_c
 
 
+def derive_noise_buckets(shapes):
+    """Static noise buckets for a set of raw (h, w) image shapes.
+
+    None when every image shares one shape (rrData: the noise program
+    compiles once at the exact size — bit-identical to the unbucketed
+    path).  Otherwise one bucket per orientation = the max extent of that
+    orientation's shapes, so the raw-resolution noise stage compiles
+    O(buckets) programs instead of O(distinct shapes) (was
+    harness.py's documented per-shape recompile)."""
+    if len(set(shapes)) <= 1:
+        return None
+    buckets = {}
+    for h, w in shapes:
+        o = 'p' if h > w else 'l'
+        bh, bw = buckets.get(o, (0, 0))
+        buckets[o] = (max(bh, h), max(bw, w))
+    return buckets
+
+
+def _pad_raw_to_bucket(im: 'np.ndarray', bucket):
+    """Edge-replicate pad a raw image to the noise bucket: the denoise
+    stencil halo at the valid boundary then sees plausible pixels instead
+    of zeros (the crop below discards the pad anyway)."""
+    h, w = im.shape[:2]
+    bh, bw = bucket
+    return np.pad(im, ((0, bh - h), (0, bw - w), (0, 0)), mode='edge')
+
+
 def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
              max_per_image: int = 100, thresh: float = 0.0,
              config=None, bucket=None, strict_ref: bool = False,
@@ -93,10 +121,13 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     the TwoNN intrinsic dimension per probe.  Costs one extra backbone
     forward per image (the reference re-ran sess.run once PER PROBE).
 
-    Note: noise is synthesized at the ORIGINAL image resolution (reference
-    order, test.py:189-1831), so the fused noise program recompiles per
-    distinct raw image shape — free for single-camera datasets like
-    rrData, noticeable on shape-diverse sets like VOC."""
+    Noise is synthesized at the ORIGINAL image resolution (reference
+    order, test.py:189-1831); on shape-diverse datasets (VOC/COCO) the
+    raw images are edge-padded to per-orientation noise buckets with the
+    valid extent threaded to the raster-dependent generators
+    (noise_fn.masked), so the noise stage compiles at most 2 programs
+    instead of one per distinct shape.  Single-shape datasets (rrData)
+    skip bucketing entirely — bit-identical to the exact-size path."""
     import cv2
     from tpudenoise.utils.blob import derive_bucket, prep_im_for_blob
     C = config or default_cfg
@@ -119,15 +150,37 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     t_size = target_size or C.TEST.SCALES[0]
     m_size = max_size or C.TEST.MAX_SIZE
 
+    import PIL.Image
+    raw_shapes = []
+    for i in range(num_images):
+        w, h = PIL.Image.open(imdb_obj.image_path_at(i)).size
+        raw_shapes.append((h, w))
+    noise_buckets = derive_noise_buckets(raw_shapes)
+    if noise_buckets:
+        print(f'noise buckets: {noise_buckets} '
+              f'({len(set(raw_shapes))} distinct raw shapes)')
+
     for i in range(num_images):
         im = cv2.imread(imdb_obj.image_path_at(i))
         timers['im_detect'].tic()
         # fused device noise->denoise on the original image; a gaussian-
         # plain plan emits the float [0,1] image which flows into the
         # mean-subtract prep as-is (quirk, ref test.py:290-305)
-        noisy = noise_fn(jax.random.fold_in(key, i),
-                         jnp.asarray(im.astype(np.float32))[None])
-        noisy = np.asarray(noisy[0])
+        if noise_buckets is None:
+            noisy = noise_fn(jax.random.fold_in(key, i),
+                             jnp.asarray(im.astype(np.float32))[None])
+            noisy = np.asarray(noisy[0])
+        else:
+            h0, w0 = im.shape[:2]
+            bkt = noise_buckets['p' if h0 > w0 else 'l']
+            padded_raw = _pad_raw_to_bucket(im.astype(np.float32), bkt)
+            keys_i = jax.vmap(
+                lambda j: jax.random.fold_in(key, j))(
+                jnp.asarray([i], jnp.int32))
+            noisy = noise_fn.masked(
+                keys_i, jnp.asarray(padded_raw)[None],
+                jnp.asarray([[h0, w0]], jnp.int32))
+            noisy = np.asarray(noisy[0])[:h0, :w0]
         # prep: mean subtract + min/max-side rescale (test.py:49-83)
         imf, scale = prep_im_for_blob(
             noisy, np.asarray(C.PIXEL_MEANS, np.float32), t_size, m_size)
@@ -226,12 +279,17 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                      noise: str, eval_batch: int = 8,
                      max_per_image: int = 100, thresh: float = 0.0,
                      config=None, bucket=None, strict_ref: bool = False,
-                     compute_id: bool = False):
+                     compute_id: bool = False, mesh='auto'):
     """Batched evaluation: images grouped by original size (noise runs on
     the original-resolution batch) and by padded bucket; one vmapped
     forward + postprocess per chunk.  ~4x fewer dispatches and full MXU
     occupancy vs the one-image loop — the reference evaluates strictly one
     image per sess.run (ref test.py:189).
+
+    mesh='auto': when >1 device is visible and eval_batch divides the
+    cfg.TPU.MESH_SHAPE mesh, chunks shard over the 'data' axis (params
+    replicated, noise inside shard_map) — multi-chip eval with bit-exact
+    per-image fold_in noise keys.  Pass mesh=None to force single-device.
 
     Results are identical to test_net up to the PRNG stream (noise keys
     fold per image index, preserved here)."""
@@ -256,22 +314,57 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
     t_size, m_size = C.TEST.SCALES[0], C.TEST.MAX_SIZE
     timers = {'im_detect': Timer(), 'misc': Timer()}
 
+    if mesh == 'auto':
+        from tpudenoise.core.mesh import production_mesh
+        mesh = production_mesh(C, eval_batch)
+    data_sh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpudenoise.parallel.dp import replicate
+        params = replicate(mesh, params)
+        data_sh = NamedSharding(mesh, P('data'))
+        print(f'evaluating on a {mesh.devices.size}-device mesh')
+
     @jax.jit
-    def noise_chunk(k, idx, raw):
+    def noise_chunk(k, idx, raw, hw=None):
         # ONE device program per chunk: per-image fold_in inside the jit,
-        # bit-identical to the sequential noise_fn(fold_in(k, i), im[None])
+        # bit-identical to the sequential noise_fn(fold_in(k, i), im[None]).
+        # hw engages the bucketed-noise path (raw padded to a static
+        # bucket, valid extents threaded to the generators).
         keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(idx)
-        return noise_fn.keyed(keys, raw)
+        if mesh is None:
+            return (noise_fn.keyed(keys, raw) if hw is None
+                    else noise_fn.masked(keys, raw, hw))
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        if hw is None:
+            return shard_map(noise_fn.keyed, mesh=mesh,
+                             in_specs=(P('data'), P('data')),
+                             out_specs=P('data'))(keys, raw)
+        return shard_map(noise_fn.masked, mesh=mesh,
+                         in_specs=(P('data'), P('data'), P('data')),
+                         out_specs=P('data'))(keys, raw, hw)
 
     fwd, post = _batched_eval_fns(model, num_classes, C.TEST.NMS, thresh,
                                   max_per_image)
 
-    # group by original size so the noise batch is static-shaped
+    # group by noise shape: the exact original size when the dataset has
+    # one, else the per-orientation noise bucket (<= 2 noise programs on
+    # shape-diverse datasets instead of one per distinct raw shape)
+    import PIL.Image
+    raw_shapes = {}
+    for i in range(num_images):
+        w, h = PIL.Image.open(imdb_obj.image_path_at(i)).size
+        raw_shapes[i] = (h, w)
+    noise_buckets = derive_noise_buckets(list(raw_shapes.values()))
+    if noise_buckets:
+        print(f'noise buckets: {noise_buckets} '
+              f'({len(set(raw_shapes.values()))} distinct raw shapes)')
     groups = defaultdict(list)
     for i in range(num_images):
-        import PIL.Image
-        w, h = PIL.Image.open(imdb_obj.image_path_at(i)).size
-        groups[(h, w)].append(i)
+        h, w = raw_shapes[i]
+        groups[noise_buckets['p' if h > w else 'l'] if noise_buckets
+               else (h, w)].append(i)
 
     done = 0
     for (oh, ow), idxs in groups.items():
@@ -283,15 +376,33 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             # dropped below
             chunk = chunk + [chunk[-1]] * (eval_batch - n_real)
             timers['im_detect'].tic()
-            raw = np.stack([cv2.imread(imdb_obj.image_path_at(i))
-                            for i in chunk]).astype(np.float32)
-            noisy = np.asarray(noise_chunk(
-                key, jnp.asarray(chunk, jnp.int32), jnp.asarray(raw)))
+            imgs_raw = [cv2.imread(imdb_obj.image_path_at(i))
+                        .astype(np.float32) for i in chunk]
+            if noise_buckets:
+                imgs_raw = [_pad_raw_to_bucket(im, (oh, ow))
+                            for im in imgs_raw]
+            raw = np.stack(imgs_raw)
+            raw_dev = jnp.asarray(raw)
+            idx_dev = jnp.asarray(chunk, jnp.int32)
+            hw_dev = None
+            if noise_buckets:
+                hw_dev = jnp.asarray([raw_shapes[i] for i in chunk],
+                                     jnp.int32)
+            if data_sh is not None:
+                raw_dev = jax.device_put(raw_dev, data_sh)
+                idx_dev = jax.device_put(idx_dev, data_sh)
+                if hw_dev is not None:
+                    hw_dev = jax.device_put(hw_dev, data_sh)
+            noisy = np.asarray(noise_chunk(key, idx_dev, raw_dev, hw_dev))
             imgs, infos = [], []
             img_bucket = None
             for j in range(len(chunk)):
+                nj = noisy[j]
+                if noise_buckets:
+                    hj, wj = raw_shapes[chunk[j]]
+                    nj = nj[:hj, :wj]
                 imf, scale = prep_im_for_blob(
-                    noisy[j], np.asarray(C.PIXEL_MEANS, np.float32),
+                    nj, np.asarray(C.PIXEL_MEANS, np.float32),
                     t_size, m_size)
                 h, w = imf.shape[:2]
                 img_bucket = bucket or derive_bucket(t_size, m_size,
@@ -301,6 +412,9 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                 infos.append((ph, pw, scale))
             imgs = jnp.asarray(np.stack(imgs))
             infos = jnp.asarray(np.asarray(infos, np.float32))
+            if data_sh is not None:
+                imgs = jax.device_put(imgs, data_sh)
+                infos = jax.device_put(infos, data_sh)
             out = fwd(params, imgs, infos)
             boxes_c, scores_c, mask_c = post(
                 out['rois'], out['roi_mask'], out['cls_prob'],

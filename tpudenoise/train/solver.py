@@ -69,8 +69,16 @@ class Solver:
         self._noise_fn = make_pipeline(
             parse_noise(noise, mode='TRAIN'), mode='TRAIN')
         print(f'noise pipeline backend: {self._noise_fn.backend}')
+        # production multi-chip: cfg.TPU.MESH_SHAPE mesh when >1 device
+        # and the batch divides it — params replicate, batches shard on
+        # 'data', XLA inserts the gradient psum over ICI
+        from tpudenoise.core.mesh import production_mesh
+        self.mesh = production_mesh(self.cfg, batch_size)
+        if self.mesh is not None:
+            print(f'training on a {self.mesh.devices.size}-device '
+                  f'{dict(zip(self.mesh.axis_names, self.mesh.devices.shape))} mesh')
         self._init_state_fn, self._step_fn = make_train_step(
-            model, self.cfg)
+            model, self.cfg, mesh=self.mesh)
 
     # ---------------------------------------------------- snapshots ----
 
@@ -152,11 +160,32 @@ class Solver:
 
     def _prep_batch(self, key, batch):
         """Device noise + mean subtraction on the raw loader batch.
-        The loader ships uint8; the f32 cast happens after transfer."""
+        The loader ships uint8; the f32 cast happens after transfer.
+
+        Under a mesh the batch dim shards over 'data' and the noise runs
+        inside shard_map (each device applies the fused kernels to its
+        local shard — Pallas calls never cross the partitioner), with
+        per-image fold_in keys; the PRNG stream differs from the
+        single-device fn(key, batch) path the same way the batched eval
+        harness's does (documented there)."""
         imgs = jnp.asarray(batch['image']).astype(jnp.float32)
-        noisy = self._noise_fn(key, imgs)
-        means = jnp.asarray(np.asarray(self.cfg.PIXEL_MEANS, np.float32))
         batch = dict(batch)
+        if self.mesh is None:
+            noisy = self._noise_fn(key, imgs)
+        else:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            b = imgs.shape[0]
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(b))
+            sh = NamedSharding(self.mesh, P('data'))
+            imgs = jax.device_put(imgs, sh)
+            noisy = shard_map(self._noise_fn.keyed, mesh=self.mesh,
+                              in_specs=(P('data'), P('data')),
+                              out_specs=P('data'))(keys, imgs)
+            for k in ('im_info', 'gt_boxes', 'gt_mask'):
+                batch[k] = jax.device_put(jnp.asarray(batch[k]), sh)
+        means = jnp.asarray(np.asarray(self.cfg.PIXEL_MEANS, np.float32))
         batch['image'] = noisy - means
         batch['im_info'] = jnp.asarray(batch['im_info'])
         batch['gt_boxes'] = jnp.asarray(batch['gt_boxes'])
@@ -205,6 +234,12 @@ class Solver:
                 print(f'Restoring from iteration {last}')
                 state, key, start = self.restore(state, loader,
                                                  val_loader, last)
+        if self.mesh is not None:
+            # replicate params/optimizer over the mesh (restore already
+            # coerced leaves to host arrays, so this holds after resume
+            # too — the snapshot round-trip stays topology-agnostic)
+            from tpudenoise.parallel.dp import replicate
+            state = replicate(self.mesh, state)
 
         timer = Timer()
         last_summary = time.time()

@@ -107,13 +107,20 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
-def make_train_step(model, cfg: AttrDict):
+def make_train_step(model, cfg: AttrDict, mesh=None):
     """Returns (init_state_fn, step_fn).
 
     step_fn(state, key, batch) -> (state, losses); batch is a dict of
     batched arrays {image (B,H,W,3), im_info (B,3), gt_boxes (B,G,5),
     gt_mask (B,G)} — shard its leading dim over the 'data' mesh axis and
     jit with replicated params for multi-chip DP.
+
+    mesh: when given, the step jits with EXPLICIT in/out shardings
+    (state replicated, batch data-sharded) — inputs are resharded on
+    entry and outputs pinned, so the dispatch cache stays stable across
+    steps whatever provenance the arrays carry (step outputs, device_put,
+    orbax restores).  Without it the second step could die with
+    "supplied N buffers but compiled program expected M".
     """
     frozen = {'head': model.frozen_filter, 'rpn': None, 'tail': None}
     tx, trainable_mask = make_optimizer(cfg, frozen)
@@ -139,7 +146,6 @@ def make_train_step(model, cfg: AttrDict):
         mean_losses['total_loss'] = total
         return total, mean_losses
 
-    @jax.jit
     def step_fn(state: TrainState, key, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, losses), grads = grad_fn(state.params, key, batch)
@@ -152,5 +158,15 @@ def make_train_step(model, cfg: AttrDict):
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), losses
+
+    if mesh is None:
+        step_fn = jax.jit(step_fn)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P('data'))
+        step_fn = jax.jit(step_fn,
+                          in_shardings=(repl, repl, data),
+                          out_shardings=(repl, repl))
 
     return init_state, step_fn
