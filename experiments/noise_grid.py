@@ -130,20 +130,40 @@ def main(argv=None):
 
     # ---- eval sweep ----
     from tpudenoise.eval.harness import test_net_batched
-    rows = []
-    for noise in grid:
+
+    def one_row(noise, label=None):
         d_te = rrData('test', '2021', config=cfg)
         d_te.competition_mode(True)
         t0 = time.time()
         aps = test_net_batched(model, params, d_te,
-                               f'{args.net}_grid_{noise}', noise,
+                               f'{args.net}_grid_{label or noise}', noise,
                                eval_batch=args.eval_batch, config=cfg,
                                bucket=bucket)
-        rows.append({'noise': noise, 'AP@.5': round(float(aps[0]), 4),
-                     'AP@[.5,.95]': round(float(np.mean(aps)), 4),
-                     'eval_s': round(time.time() - t0, 1)})
-        print(f'[noise_grid] {noise}: AP@.5={rows[-1]["AP@.5"]:.4f} '
-              f'AP@[.5,.95]={rows[-1]["AP@[.5,.95]"]:.4f}')
+        row = {'noise': label or noise,
+               'AP@.5': round(float(aps[0]), 4),
+               'AP@[.5,.95]': round(float(np.mean(aps)), 4),
+               'eval_s': round(time.time() - t0, 1)}
+        print(f'[noise_grid] {row["noise"]}: AP@.5={row["AP@.5"]:.4f} '
+              f'AP@[.5,.95]={row["AP@[.5,.95]"]:.4f}')
+        return row
+
+    rows = [one_row(noise) for noise in grid]
+
+    # control rows: the reproduced gaussian-plain float-[0,1] quirk
+    # (ref test.py:290-305) blacks out the input, so every gaussian cell
+    # above scores ~0 AP and carries no regression signal; these rows
+    # disable only the unit-float output (cast back to the u8 domain) so
+    # the gaussian grid can still catch detection-behavior drift.
+    import dataclasses
+    from tpudenoise.noise.spec import parse as parse_noise
+    for g in ('gaussian_var0.1', 'gaussian_var1.0', 'gaussian_var1.5'):
+        if not any(r['noise'] == g for r in rows):
+            continue
+        plan = parse_noise(g, mode='TEST')
+        plan = dataclasses.replace(plan, specs=tuple(
+            dataclasses.replace(s, unit_float_output=False)
+            for s in plan.specs))
+        rows.append(one_row(plan, label=f'{g} (control: u8 cast)'))
 
     # ---- write artifacts ----
     meta = {'net': args.net, 'iters': args.iters,

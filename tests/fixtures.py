@@ -8,10 +8,14 @@ import numpy as np
 
 
 def make_rrdata_fixture(root: str, n_train: int = 4, n_test: int = 3,
-                        size=(240, 320), seed: int = 3):
+                        size=(240, 320), seed: int = 3, sizes=None):
     """Create DATA_DIR layout: root/6thfloorData/6thFloorTest/{JPEGImages,
     Annotations_cvat/6thFloorTest/{Annotations,ImageSets/Main}}.
-    Returns dict of gt boxes per split."""
+    Returns dict of gt boxes per split.
+
+    sizes: optional list of (h, w) cycled across images — builds a
+    shape-DIVERSE dataset (the VOC-like case the bucketed noise stage
+    targets); default: every image is `size`."""
     import cv2
     rng = np.random.RandomState(seed)
     base = osp.join(root, '6thfloorData', '6thFloorTest')
@@ -22,20 +26,20 @@ def make_rrdata_fixture(root: str, n_train: int = 4, n_test: int = 3,
     for d in (jdir, adir, sdir):
         os.makedirs(d, exist_ok=True)
 
-    h, w = size
     gt = {}
     splits = {'train': [f'tr{i:03d}' for i in range(n_train)],
               'test': [f'te{i:03d}' for i in range(n_test)]}
     splits['trainval'] = splits['train']
     splits['val'] = splits['test']
     for split in ('train', 'test'):
-        for name in splits[split]:
+        for k, name in enumerate(splits[split]):
+            h, w = sizes[k % len(sizes)] if sizes else size
             img = (rng.rand(h, w, 3) * 60 + 60).astype(np.uint8)
             n_obj = rng.randint(1, 4)
             boxes = []
             for _ in range(n_obj):
-                bw = rng.randint(40, 90)
-                bh = rng.randint(60, 110)
+                bw = rng.randint(min(40, w // 4), min(90, w // 2))
+                bh = rng.randint(min(60, h // 4), min(110, h // 2))
                 x1 = rng.randint(0, w - bw - 1)
                 y1 = rng.randint(0, h - bh - 1)
                 color = tuple(int(c) for c in rng.randint(180, 255, 3))

@@ -66,6 +66,11 @@ def poisson(key, x01: jnp.ndarray, img_u8: jnp.ndarray) -> jnp.ndarray:
     n_unique = jnp.sum(hist > 0)
     vals = 2.0 ** jnp.ceil(jnp.log2(n_unique.astype(jnp.float32)))
     lam = x01 * vals
+    # jax.random.poisson is threefry-only: coerce rbg/fast keys (first two
+    # key-data words) so the pipeline's fast_rng path can still draw
+    if str(jax.random.key_impl(key)) != 'threefry2x32':
+        data = jax.random.key_data(key).reshape(-1)[:2]
+        key = jax.random.wrap_key_data(data, impl='threefry2x32')
     out = jax.random.poisson(key, lam, x01.shape).astype(x01.dtype) / vals
     return jnp.clip(out, 0.0, 1.0)
 
@@ -112,29 +117,67 @@ def rayleigh_add(key, x01: jnp.ndarray, scale: float) -> jnp.ndarray:
     return x01 + r
 
 
-def brownian(key, img_u8: jnp.ndarray, dt: float) -> jnp.ndarray:
+def _valid_raster(shape, hw):
+    """For a padded (H, W, C) canvas with a valid top-left (h, w) region
+    (hw: (2,) int32, traced): each element's index in the VALID region's
+    raster order, the validity mask, and the valid element count.  Used by
+    the raster-length-dependent generators (brownian/periodic) so noise
+    synthesized on a static bucket matches the exact-size semantics."""
+    H, W, C = shape
+    y = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    x = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    h, w = hw[0], hw[1]
+    idx = (y * w + x) * C + c
+    valid = (y < h) & (x < w)
+    return idx, valid, h * w * C
+
+
+def brownian(key, img_u8: jnp.ndarray, dt: float, hw=None) -> jnp.ndarray:
     """Brownian path over all pixels: B = cumsum(sqrt(dt)*N(0,1)) reshaped to
     (H, W, 3); noise_u8 = wrap_cast(B*255); out = cv2.add(img, noise) which
     saturates (ref test.py:905-1126).  The cumsum runs over H*W*3 elements in
-    raster order — an associative scan XLA parallelizes."""
+    raster order — an associative scan XLA parallelizes.
+
+    hw: optional valid (h, w) extent of a bucket-padded canvas.  Increments
+    at padded positions are zeroed before the cumsum; because padded
+    elements then contribute nothing, the path value at each valid element
+    equals the cumsum over the valid raster prefix — exact-size semantics
+    on a static shape (the normal stream layout differs unless the pad is
+    rows-only)."""
     n = img_u8.size
     db = jax.random.normal(key, (n,), jnp.float32) * math.sqrt(dt)
+    if hw is not None:
+        _, valid, _ = _valid_raster(img_u8.shape, hw)
+        db = jnp.where(valid.reshape(-1), db, 0.0)
     b = jnp.concatenate([jnp.zeros((1,), jnp.float32), jnp.cumsum(db[:-1])])
     noise_u8 = wrap_cast_u8(b * 255.0).reshape(img_u8.shape)
     return saturate_u8(img_u8 + noise_u8)
 
 
-def periodic(key, img_u8: jnp.ndarray, amplitude: float) -> jnp.ndarray:
+def periodic(key, img_u8: jnp.ndarray, amplitude: float,
+             hw=None) -> jnp.ndarray:
     """sin over linspace(-A, A, size) scaled by 255, wrap-cast to uint8,
     saturating add (ref test.py:1128-1298).  amplitude < 0 means A = size
     (the 'varsize' level).  Deterministic given the image shape — `key` is
-    accepted for signature uniformity."""
+    accepted for signature uniformity.
+
+    hw: optional valid extent on a bucket-padded canvas; the raster index
+    and length (and the varsize amplitude) then follow the VALID region,
+    bit-identical to the exact-size run inside the valid region."""
     del key
-    n = img_u8.size
-    a = jnp.where(amplitude < 0, jnp.float32(n), jnp.float32(amplitude))
-    # np.linspace(-A, A, n): step = 2A/(n-1)
-    t = -a + jnp.arange(n, dtype=jnp.float32) * (2.0 * a / (n - 1))
-    noise_u8 = wrap_cast_u8(jnp.sin(t) * 255.0).reshape(img_u8.shape)
+    if hw is None:
+        n = img_u8.size
+        a = jnp.where(amplitude < 0, jnp.float32(n), jnp.float32(amplitude))
+        # np.linspace(-A, A, n): step = 2A/(n-1)
+        t = -a + jnp.arange(n, dtype=jnp.float32) * (2.0 * a / (n - 1))
+        noise_u8 = wrap_cast_u8(jnp.sin(t) * 255.0).reshape(img_u8.shape)
+        return saturate_u8(img_u8 + noise_u8)
+    idx, _, n = _valid_raster(img_u8.shape, hw)
+    nf = n.astype(jnp.float32)
+    a = jnp.where(amplitude < 0, nf, jnp.float32(amplitude))
+    t = -a + idx.astype(jnp.float32) * (2.0 * a / (nf - 1.0))
+    noise_u8 = wrap_cast_u8(jnp.sin(t) * 255.0)
     return saturate_u8(img_u8 + noise_u8)
 
 
@@ -146,7 +189,7 @@ def shader(img_u8: jnp.ndarray, factor: float = 3.0) -> jnp.ndarray:
     return bright[..., ::-1]
 
 
-def bloom(key, img_u8: jnp.ndarray) -> jnp.ndarray:
+def bloom(key, img_u8: jnp.ndarray, hw=None) -> jnp.ndarray:
     """Automold add_sun_flare(flare_center=(100,100), angle=-pi/4)
     (ref tools/Automold.py:588-627, used at test.py:1590-1594).
 
@@ -156,7 +199,12 @@ def bloom(key, img_u8: jnp.ndarray) -> jnp.ndarray:
     flare source: H//10... 40 concentric circles radius linspace(1, 400)
     blended with cubic alpha.  Rendered analytically: each circle is a
     full-image distance mask — pure VPU work, sequential compositing via
-    lax.scan to match cv2's overlay accumulation."""
+    lax.scan to match cv2's overlay accumulation.
+
+    hw: optional valid extent on a bucket-padded canvas; the flare-line
+    raster length and circle-radius range then follow the VALID geometry
+    (dynamic randint bounds), so circle placement statistics match the
+    exact-size run."""
     h, w = img_u8.shape[0], img_u8.shape[1]
     fc_x, fc_y = 100.0, 100.0
     angle = (-math.pi / 4) % (2 * math.pi)
@@ -169,15 +217,19 @@ def bloom(key, img_u8: jnp.ndarray) -> jnp.ndarray:
     n_line = (w + 9) // 10
     line_x = jnp.arange(n_line, dtype=jnp.float32) * 10.0
     line_y = 2.0 * fc_y - (math.tan(angle) * (line_x - fc_x) + fc_y)
+    if hw is None:
+        n_line_d, rad_hi = n_line, max(h // 100 - 2, 1)
+    else:
+        n_line_d = (hw[1] + 9) // 10
+        rad_hi = jnp.maximum(hw[0] // 100 - 2, 1)
 
     keys = jax.random.split(key, n_circ)
-    rad_hi = max(h // 100 - 2, 1)
 
     def draw_circle(carry, k):
         overlay, output = carry
         k1, k2, k3, k4 = jax.random.split(k, 4)
         alpha = jax.random.uniform(k1, (), minval=0.05, maxval=0.2)
-        r_idx = jax.random.randint(k2, (), 0, n_line)
+        r_idx = jax.random.randint(k2, (), 0, n_line_d)
         rad = jax.random.randint(k3, (), 1, rad_hi + 1).astype(jnp.float32)
         color = jax.random.randint(k4, (3,), 205, 256).astype(jnp.float32)
         cx = jnp.floor(line_x[r_idx])

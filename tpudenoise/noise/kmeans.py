@@ -21,7 +21,7 @@ from tpudenoise.ops.color import bgr_u8_to_lab_u8, lab_u8_to_bgr_u8
 
 @functools.partial(jax.jit, static_argnames=('k', 'iters', 'sample'))
 def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
-           sample: int = 8192):
+           sample: int = 8192, sample_idx=None):
     """Mini-batch k-means with k-means++ init.
 
     points: (N, D) float32.  Returns (centers (k, D), labels (N,)).
@@ -31,10 +31,17 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
     same estimator family as the reference's sklearn MiniBatchKMeans
     (which fits on 1024-point batches, ref test.py:592-765) at a
     fraction of the full-batch cost; sample=0 forces full-batch Lloyd.
+
+    sample_idx: optional precomputed (S,) fit-subsample indices — used by
+    the bucketed path to draw the fit set from the VALID region only
+    (padded garbage must not skew the palette).
     """
     all_points = points
     n = points.shape[0]
-    if sample and n > sample:
+    if sample_idx is not None:
+        points = points[sample_idx]
+        n = points.shape[0]
+    elif sample and n > sample:
         key, sub = jax.random.split(key)
         # with replacement: what MiniBatchKMeans effectively does across
         # batches, and it avoids a full N-element gumbel sort
@@ -91,14 +98,26 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
 
 
 def quantize_colors(key, img_u8: jnp.ndarray, k: int,
-                    iters: int = 25) -> jnp.ndarray:
+                    iters: int = 25, hw=None) -> jnp.ndarray:
     """The 'quant' noise: BGR->LAB, k-means palette, truncate centers to u8,
     palette-map every pixel, LAB->BGR (ref test.py:594-765: centers cast via
-    .astype('uint8') — truncation, preserved)."""
+    .astype('uint8') — truncation, preserved).
+
+    hw: optional valid (h, w) extent of a bucket-padded canvas; the
+    palette then fits on a subsample drawn from the valid region only
+    (dynamic randint bounds); the final palette map still covers the full
+    canvas (pad output is cropped by the caller)."""
     h, w = img_u8.shape[0], img_u8.shape[1]
     lab = bgr_u8_to_lab_u8(img_u8)
     pts = lab.reshape(-1, 3)
-    centers, labels = kmeans(key, pts, k=k, iters=iters)
+    if hw is None:
+        centers, labels = kmeans(key, pts, k=k, iters=iters)
+    else:
+        key, ky, kx = jax.random.split(key, 3)
+        ys = jax.random.randint(ky, (8192,), 0, hw[0])
+        xs = jax.random.randint(kx, (8192,), 0, hw[1])
+        centers, labels = kmeans(key, pts, k=k, iters=iters,
+                                 sample_idx=ys * w + xs)
     centers_u8 = jnp.trunc(jnp.clip(centers, 0.0, 255.0))
     # palette map as one-hot matmul, not centers_u8[labels]: a 600k-row
     # gather costs ~30 ms on v5e, the (N, k) @ (k, 3) matmul is free

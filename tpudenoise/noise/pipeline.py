@@ -56,9 +56,14 @@ def _apply_wavelet_from_float(imgf: jnp.ndarray) -> jnp.ndarray:
     return G.wrap_cast_u8(255.0 * w)
 
 
-def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray):
+def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None):
     """Run the generator, returning the float-domain noisy image plus how
-    to get the u8-domain version (some kinds are natively u8)."""
+    to get the u8-domain version (some kinds are natively u8).
+
+    hw: optional valid (h, w) extent when img_u8 is a bucket-padded
+    canvas — threaded to the raster-length-dependent generators
+    (brownian/periodic/quant/bloom); elementwise generators need no
+    adjustment (pad output is cropped by the caller)."""
     x01 = G.to_unit(img_u8)
     k = spec.kind
     if k == Kind.GAUSSIAN:
@@ -82,13 +87,13 @@ def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray):
     if k == Kind.RAYLEIGH:
         return G.rayleigh_add(key, x01, spec.level), 'unit'
     if k == Kind.BROWNIAN:
-        return G.brownian(key, img_u8, spec.level), 'u8'
+        return G.brownian(key, img_u8, spec.level, hw=hw), 'u8'
     if k == Kind.PERIODIC:
-        return G.periodic(key, img_u8, spec.level), 'u8'
+        return G.periodic(key, img_u8, spec.level, hw=hw), 'u8'
     if k == Kind.QUANT:
-        return quantize_colors(key, img_u8, int(spec.level)), 'u8'
+        return quantize_colors(key, img_u8, int(spec.level), hw=hw), 'u8'
     if k == Kind.BLOOM:
-        return G.bloom(key, img_u8), 'u8'
+        return G.bloom(key, img_u8, hw=hw), 'u8'
     if k == Kind.SHADER:
         return G.shader(img_u8), 'u8'
     return img_u8, 'u8'  # ORIGINAL
@@ -100,13 +105,17 @@ _WAVELET_ON_FLOAT = {Kind.GAUSSIAN, Kind.SAP, Kind.SPECKLE, Kind.UNIFORM,
                      Kind.GAMMA, Kind.RAYLEIGH}
 
 
-def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray) -> jnp.ndarray:
+def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
+               hw=None) -> jnp.ndarray:
     """One (kind, level, denoise) combination on one image.
 
     Returns float32 in the domain the reference would feed downstream:
     u8-domain values except the gaussian-plain quirk (unit floats).
+    hw: optional valid extent for bucket-padded inputs (see _noisy_float);
+    denoise stencils run on the full canvas — callers pad with edge
+    replication so the valid-boundary stencil halo sees plausible pixels.
     """
-    noisy, dom = _noisy_float(spec, key, img_u8)
+    noisy, dom = _noisy_float(spec, key, img_u8, hw=hw)
     if dom == 'unit':
         u8 = G.wrap_cast_u8(255.0 * noisy)
     else:
@@ -140,7 +149,26 @@ def apply_post(denoise: Denoise, img: jnp.ndarray,
     return _FILTERS[denoise](img, not unit_float)
 
 
-def _apply_specs_batched(specs, keys, images):
+
+def _to_fast_keys(keys):
+    """Per-image threefry keys -> rbg keys (TPU hardware RNG), derived
+    deterministically from the key data.
+
+    Threefry costs ~20 ALU ops per random word; at 600x1000x3 a single
+    field draw is ~2 ms of pure VPU counter work, and the big-mix
+    generators draw 1-4 fields per image — the dominant cost of the XLA
+    noise path.  The rbg impl uses the hardware RNG instruction instead:
+    identical statistics, different stream (the same accepted trade as
+    the fused Pallas kernels' coordinate-hash RNG).  Derivation is
+    deterministic in the incoming key, so runs remain reproducible."""
+    def one(k):
+        d = jax.random.key_data(k).reshape(-1).astype(jnp.uint32)
+        seed = d[-1] ^ (d[0] * jnp.uint32(2654435761))
+        return jax.random.key(seed, impl='rbg')
+    return jax.vmap(one)(keys)
+
+
+def _apply_specs_batched(specs, keys, images, hw=None):
     """Per-image spec application over a batch.
 
     Single spec: plain vmap.  Mix (>1 specs): lax.scan over images with a
@@ -150,22 +178,37 @@ def _apply_specs_batched(specs, keys, images):
     hold ~37 generators incl. K-Means quantization).  Images serialize,
     but one 600x1000 generator saturates the VPU on its own, and it all
     stays ONE dispatch.  Bit-identical to the vmap formulation."""
+    if hw is None:
+        if len(specs) == 1:
+            return jax.vmap(functools.partial(apply_spec, specs[0])
+                            )(keys, images)
+        branches = [functools.partial(apply_spec, s) for s in specs]
+
+        def body(_, ki):
+            k, img = ki
+            kc, ka = jax.random.split(k)
+            idx = jax.random.randint(kc, (), 0, len(specs))
+            return None, jax.lax.switch(idx, branches, ka, img)
+
+        _, out = jax.lax.scan(body, None, (keys, images))
+        return out
     if len(specs) == 1:
-        return jax.vmap(functools.partial(apply_spec, specs[0])
-                        )(keys, images)
-    branches = [functools.partial(apply_spec, s) for s in specs]
+        return jax.vmap(lambda k, im, e: apply_spec(specs[0], k, im,
+                                                    hw=e))(keys, images, hw)
+    branches = [(lambda s: lambda k, im, e: apply_spec(s, k, im, hw=e))(s)
+                for s in specs]
 
     def body(_, ki):
-        k, img = ki
+        k, img, e = ki
         kc, ka = jax.random.split(k)
         idx = jax.random.randint(kc, (), 0, len(specs))
-        return None, jax.lax.switch(idx, branches, ka, img)
+        return None, jax.lax.switch(idx, branches, ka, img, e)
 
-    _, out = jax.lax.scan(body, None, (keys, images))
+    _, out = jax.lax.scan(body, None, (keys, images, hw))
     return out
 
 
-def _pallas_bilateral_pipeline(specs, n_stages: int):
+def _pallas_bilateral_pipeline(specs, n_stages: int, keyfix=lambda ks: ks):
     """Noise in the XLA program (scanned per-image lax.switch for mixes);
     each bilateral stage (generator `_bilateral` variant and/or standalone
     post-pass, ref minibatch.py:1636-1663) as ONE batched Pallas HBM pass
@@ -178,7 +221,7 @@ def _pallas_bilateral_pipeline(specs, n_stages: int):
 
     @jax.jit
     def run(key, images):
-        keys = jax.random.split(key, images.shape[0])
+        keys = keyfix(jax.random.split(key, images.shape[0]))
         out = _apply_specs_batched(stripped, keys, images)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
@@ -186,20 +229,30 @@ def _pallas_bilateral_pipeline(specs, n_stages: int):
 
     @jax.jit
     def run_keyed(keys, images):
-        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+        ks = keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
         out = _apply_specs_batched(stripped, ks, images)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
 
+    @jax.jit
+    def run_masked(keys, images, hw):
+        ks = keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
+        out = _apply_specs_batched(stripped, ks, images, hw)
+        for _ in range(n_stages):
+            out = bilateral_pallas(out)
+        return out
+
     run.keyed = run_keyed
+    run.masked = run_masked
     run.backend = f'pallas:bilateral_x{n_stages}'
     return run
 
 
 def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                   strict_ref: bool = False,
-                  use_pallas: bool | None = None):
+                  use_pallas: bool | None = None,
+                  fast_rng: bool | None = None):
     """Build `fn(key, images) -> images` for a parsed plan (or raw noise
     string).  images: (B, H, W, 3) float32 u8-domain BGR.  The returned fn
     is jitted and vmapped over the batch; per-image PRNG via fold_in.
@@ -209,9 +262,17 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
     RNG stream differs (coordinate hash vs threefry) with identical
     statistics.  Default None = auto: Pallas on TPU, XLA elsewhere — this
     is what the production call sites (Solver, eval harness) use.
+
+    fast_rng swaps the XLA generators' per-image keys for rbg (hardware
+    RNG) keys — see _to_fast_keys.  Default None = off for now: the rbg
+    path crashed this environment's TPU worker on the 41-branch mix
+    program (under investigation); opt in explicitly where validated.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
+    if fast_rng is None:
+        fast_rng = False
+    _keyfix = _to_fast_keys if fast_rng else (lambda ks: ks)
     if isinstance(plan, str):
         plan = parse(plan, mode=mode, strict_ref=strict_ref)
     specs = plan.specs
@@ -249,6 +310,10 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                 return out.astype(jnp.float32)
 
             run_sap.keyed = run_sap_keyed
+            # sap noise + median are elementwise/stencil — no raster-
+            # length dependence; the bucketed caller crops the pad region
+            run_sap.masked = lambda keys, images, hw: run_sap_keyed(
+                keys, images)
             run_sap.backend = 'pallas:sap_median'
             return run_sap
         if (s.kind == Kind.GAUSSIAN and s.denoise == Denoise.GAUS_BLUR
@@ -300,6 +365,10 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                 return _gauss_impl(seeds, lvl_arr[idx], images)
 
             run_gauss.keyed = run_gauss_keyed
+            # elementwise noise + stencil blur: hw-independent, cropped
+            # by the bucketed caller
+            run_gauss.masked = lambda keys, images, hw: run_gauss_keyed(
+                keys, images)
             run_gauss.backend = 'pallas:gaussian_blur'
             return run_gauss
 
@@ -322,7 +391,7 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         # Pallas bilateral once over the whole mixed batch
         if (plan.post_denoise == Denoise.BILATERAL
                 and all(s.denoise == Denoise.NONE for s in specs)):
-            return _pallas_bilateral_pipeline(specs, 1)
+            return _pallas_bilateral_pipeline(specs, 1, _keyfix)
     unit_float = all(s.unit_float_output for s in specs)
 
     def _post_batched(out):
@@ -333,7 +402,7 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
 
     @jax.jit
     def run(key, images):
-        keys = jax.random.split(key, images.shape[0])
+        keys = _keyfix(jax.random.split(key, images.shape[0]))
         return _post_batched(_apply_specs_batched(specs, keys, images))
 
     @jax.jit
@@ -341,9 +410,18 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         # per-image keys (e.g. fold_in(key, image_index) from the batched
         # eval harness); reproduce the B=1 run() stream exactly:
         # split(k, 1)[0] per image
-        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+        ks = _keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
         return _post_batched(_apply_specs_batched(specs, ks, images))
 
+    @jax.jit
+    def run_masked(keys, images, hw):
+        # bucketed eval path: images are padded to a static bucket, hw is
+        # the per-image valid (h, w); raster-dependent generators follow
+        # the valid geometry, caller crops the output back to (h, w)
+        ks = _keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
+        return _post_batched(_apply_specs_batched(specs, ks, images, hw))
+
     run.keyed = run_keyed
+    run.masked = run_masked
     run.backend = 'xla'
     return run
