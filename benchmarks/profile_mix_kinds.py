@@ -1,0 +1,65 @@
+"""Per-kind cost ablation for the mixed-noise path (BASELINE config 3).
+
+Times each generator kind as a single-spec batched pipeline at the bench
+geometry, plus the two post-pass filters, so the mix budget
+(sum over kinds of draw_probability x kind_cost) can be attributed.
+
+  python benchmarks/profile_mix_kinds.py [--small] [--fast-rng]
+"""
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+KINDS = ['original', 'gaussian_var1.0', 'poisson', 'sap_var0.4',
+         'speckle_var1.0', 'uniform_var0.6', 'gamma_var0.1',
+         'rayleigh_var0.2', 'periodic_var100', 'brownian_var0.09',
+         'quant_var7', 'bloom', 'shader']
+
+
+def main():
+    small = '--small' in sys.argv
+    fast = '--fast-rng' in sys.argv
+    h, w, b, inner = (128, 160, 4, 2) if small else (600, 1000, 16, 2)
+    from tpudenoise.noise.pipeline import make_pipeline
+    rng = np.random.RandomState(3)
+    images = jax.device_put(jnp.asarray(
+        rng.randint(0, 256, (b, h, w, 3)).astype(np.float32)))
+    key = jax.random.PRNGKey(3)
+
+    def timeit(fn):
+        @jax.jit
+        def run_many(images):
+            def step(c, i):
+                out = fn(jax.random.fold_in(key, i), images)
+                return c + jnp.sum(out[0, ::97, ::89].astype(
+                    jnp.float32)), None
+            c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(inner))
+            return c
+        float(run_many(images))
+        float(run_many(images))
+        t0 = time.perf_counter()
+        for _ in range(3):
+            float(run_many(images))
+        dt = (time.perf_counter() - t0) / 3
+        return dt / (b * inner) * 1000  # ms per image
+
+    print(f'geometry {h}x{w} batch {b} fast_rng={fast}', flush=True)
+    for kind in KINDS:
+        fn = make_pipeline(kind, mode='TRAIN', use_pallas=False,
+                           fast_rng=fast)
+        ms = timeit(fn)
+        print(f'  {kind:22s} {ms:8.3f} ms/img', flush=True)
+    for post in ('original_bilateral', 'original_wavelet'):
+        fn = make_pipeline(post, mode='TRAIN', fast_rng=fast)
+        ms = timeit(fn)
+        print(f'  {post:22s} {ms:8.3f} ms/img ({fn.backend})', flush=True)
+
+
+if __name__ == '__main__':
+    main()
