@@ -85,20 +85,38 @@ def bench_config1(images_u8, seeds):
     return _time_scanned(step, images_u8)
 
 
-def bench_config3(images_f32, noise):
+def bench_config3(images_f32, noise, n_chain=6, reps=3):
     """Mixed-noise batch + denoise post-pass through the production
-    make_pipeline routing (bilateral rides the batched Pallas stencil;
-    wavelet runs the XLA lifting DWT).  Smaller batch: the mixed XLA
-    program keeps several full-batch f32 temporaries live (the lax.switch
-    branches + planar bilateral layout), so batch 128 overflows HBM."""
+    make_pipeline routing (fast_rng hardware-RNG generators; bilateral
+    rides the batched Pallas stencil; wavelet runs the XLA lifting DWT).
+
+    Timed as a serially data-dependent CHAIN of plain pipeline calls
+    (like bench_config4) instead of an outer lax.scan: production always
+    calls the pipeline once per batch, and on this environment an outer
+    scan around a fast_rng mix program faults the TPU worker.  The chain
+    keeps dispatches async (one final readback) so tunnel latency hides.
+    Smaller batch than the headline: the mixed XLA program keeps several
+    full-batch f32 temporaries live, so batch 128 overflows HBM."""
     from tpudenoise.noise.pipeline import make_pipeline
     fn = make_pipeline(noise, mode='TRAIN')
     key = jax.random.PRNGKey(3)
+    images = images_f32[:32]
+    b = images.shape[0]
 
-    def step(images, i):
-        return fn(jax.random.fold_in(key, i), images)
+    def chain(n):
+        acc = jnp.float32(0)
+        for i in range(n):
+            out = fn(jax.random.fold_in(key, i), images + acc)
+            acc = jnp.sum(out[0, ::97, ::89]).astype(jnp.float32) * 1e-9
+        return float(acc)
 
-    return _time_scanned(step, images_f32[:16], inner=2), fn.backend
+    chain(2)  # compile + warmup
+    chain(2)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        chain(n_chain)
+    dt = (time.perf_counter() - t0) / reps
+    return b * n_chain / dt, fn.backend
 
 
 def bench_config4(shape=(608, 1024), inner=8, reps=3):

@@ -155,3 +155,75 @@ def test_u8_io_matches_f32(imgs):
         tile_h=16, interpret=True))
     assert u8g.dtype == np.uint8
     np.testing.assert_array_equal(f32g, u8g.astype(np.float32))
+
+
+# ---------------------------------------------------------------- bloom --
+
+def test_bloom_params_scan_matches_reference():
+    """bloom_apply_scan(bloom_params(...)) must be bit-identical to the
+    in-scan drawing bloom() — same jax.random ops, refactored out."""
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.noise.generators import (bloom, bloom_apply_scan,
+                                             bloom_params)
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randint(0, 256, (120, 160, 3))
+                      .astype(np.float32))
+    for seed in (0, 5):
+        key = jax.random.PRNGKey(seed)
+        want = np.asarray(bloom(key, img))
+        got = np.asarray(bloom_apply_scan(
+            img, bloom_params(key, 120, 160)))
+        np.testing.assert_array_equal(got, want)
+    # masked variant parity
+    hw = jnp.asarray([100, 140], jnp.int32)
+    key = jax.random.PRNGKey(2)
+    want = np.asarray(bloom(key, img, hw=hw))
+    got = np.asarray(bloom_apply_scan(img, bloom_params(key, 120, 160,
+                                                        hw=hw)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_bloom_pallas_interpret_matches_scan():
+    """The single-pass Pallas compositor == the XLA scan consumer,
+    bit-exact in interpret mode, incl. a non-tile-aligned height."""
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.noise.generators import bloom_apply_scan, bloom_params
+    from tpudenoise.noise.pallas_bloom import bloom_pallas
+    rng = np.random.RandomState(1)
+    for h, w in [(128, 160), (90, 160)]:
+        img = jnp.asarray(rng.randint(0, 256, (h, w, 3))
+                          .astype(np.float32))
+        params = bloom_params(jax.random.PRNGKey(7), h, w)
+        want = np.asarray(bloom_apply_scan(img, params))
+        got = np.asarray(bloom_pallas(img, params, interpret=True))
+        np.testing.assert_array_equal(got, want)
+
+
+def test_bloom_pipeline_pallas_parity(monkeypatch):
+    """make_pipeline(use_pallas=True) routes bloom through the Pallas
+    compositor; equal to the XLA path (interpret mode on CPU), incl. the
+    masked bucket path."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    import tpudenoise.noise.pallas_bloom as pb
+    from tpudenoise.noise import pipeline as pipe
+    monkeypatch.setattr(pb, 'bloom_pallas',
+                        functools.partial(pb.bloom_pallas, interpret=True))
+    rng = np.random.RandomState(0)
+    im = jnp.asarray(rng.randint(0, 256, (2, 70, 96, 3))
+                     .astype(np.float32))
+    a = pipe.make_pipeline('bloom', mode='TEST', use_pallas=False)(
+        jax.random.PRNGKey(0), im)
+    b = pipe.make_pipeline('bloom', mode='TEST', use_pallas=True)(
+        jax.random.PRNGKey(0), im)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(0), i))(jnp.arange(2))
+    am = pipe.make_pipeline('bloom', mode='TEST', use_pallas=False).masked(
+        keys, im, jnp.asarray([[60, 80]] * 2, jnp.int32))
+    bm = pipe.make_pipeline('bloom', mode='TEST', use_pallas=True).masked(
+        keys, im, jnp.asarray([[60, 80]] * 2, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(am), np.asarray(bm))

@@ -189,6 +189,74 @@ def shader(img_u8: jnp.ndarray, factor: float = 3.0) -> jnp.ndarray:
     return bright[..., ::-1]
 
 
+def bloom_params(key, h: int, w: int, hw=None) -> jnp.ndarray:
+    """The 48 per-step compositing parameters of the sun-flare render
+    (8 random circles + 40 source rings), one row per step:
+    (cx, cy, r_squared, color_b, color_g, color_r, alpha, 0).
+
+    Drawn with exactly the per-key ops of the in-scan version so the
+    values are bit-identical; separated out so the Pallas single-pass
+    kernel and the XLA scan consume the same data."""
+    fc_x, fc_y = 100.0, 100.0
+    angle = (-math.pi / 4) % (2 * math.pi)
+    n_circ = 8
+    src_radius = 400
+    n_line = (w + 9) // 10
+    line_x = jnp.arange(n_line, dtype=jnp.float32) * 10.0
+    line_y = 2.0 * fc_y - (math.tan(angle) * (line_x - fc_x) + fc_y)
+    if hw is None:
+        n_line_d, rad_hi = n_line, max(h // 100 - 2, 1)
+    else:
+        n_line_d = (hw[1] + 9) // 10
+        rad_hi = jnp.maximum(hw[0] // 100 - 2, 1)
+
+    def circle(k):
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        alpha = jax.random.uniform(k1, (), minval=0.05, maxval=0.2)
+        r_idx = jax.random.randint(k2, (), 0, n_line_d)
+        rad = jax.random.randint(k3, (), 1, rad_hi + 1).astype(jnp.float32)
+        color = jax.random.randint(k4, (3,), 205, 256).astype(jnp.float32)
+        cx = jnp.floor(line_x[r_idx])
+        cy = jnp.floor(line_y[r_idx])
+        return jnp.concatenate([
+            jnp.stack([cx, cy, (rad ** 3) ** 2]), color,
+            jnp.stack([alpha, jnp.float32(0.0)])])
+
+    circ = jax.vmap(circle)(jax.random.split(key, n_circ))   # (8, 8)
+    num_times = src_radius // 10
+    alphas = jnp.linspace(0.0, 1.0, num_times)
+    rads = jnp.linspace(1.0, float(src_radius), num_times)
+    src = jnp.stack([
+        jnp.full((num_times,), fc_x), jnp.full((num_times,), fc_y),
+        rads ** 2,
+        jnp.full((num_times,), 255.0), jnp.full((num_times,), 255.0),
+        jnp.full((num_times,), 255.0),
+        alphas[::-1] ** 3, jnp.zeros((num_times,))], axis=1)  # (40, 8)
+    return jnp.concatenate([circ, src], axis=0)              # (48, 8)
+
+
+def bloom_apply_scan(img_u8: jnp.ndarray, params: jnp.ndarray
+                     ) -> jnp.ndarray:
+    """XLA reference consumer of bloom_params: sequential overlay/output
+    compositing, 2 full-image passes per step (the Pallas kernel in
+    noise/pallas_bloom.py does all 48 steps in ONE HBM pass)."""
+    h, w = img_u8.shape[0], img_u8.shape[1]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+
+    def step(carry, p):
+        overlay, output = carry
+        mask = ((xx - p[0]) ** 2 + (yy - p[1]) ** 2) <= p[2]
+        overlay = jnp.where(mask[..., None], p[3:6], overlay)
+        output = saturate_u8(p[6] * overlay + (1.0 - p[6]) * output)
+        return (overlay, output), None
+
+    (_, output), _ = jax.lax.scan(
+        step, (img_u8.astype(jnp.float32), img_u8.astype(jnp.float32)),
+        params)
+    return output
+
+
 def bloom(key, img_u8: jnp.ndarray, hw=None) -> jnp.ndarray:
     """Automold add_sun_flare(flare_center=(100,100), angle=-pi/4)
     (ref tools/Automold.py:588-627, used at test.py:1590-1594).

@@ -56,7 +56,8 @@ def _apply_wavelet_from_float(imgf: jnp.ndarray) -> jnp.ndarray:
     return G.wrap_cast_u8(255.0 * w)
 
 
-def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None):
+def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
+                 use_pallas: bool = False):
     """Run the generator, returning the float-domain noisy image plus how
     to get the u8-domain version (some kinds are natively u8).
 
@@ -93,6 +94,13 @@ def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None):
     if k == Kind.QUANT:
         return quantize_colors(key, img_u8, int(spec.level), hw=hw), 'u8'
     if k == Kind.BLOOM:
+        if use_pallas:
+            # 48-step compositing in ONE HBM pass (pallas_bloom) instead
+            # of the XLA scan's ~96; params drawn identically
+            from tpudenoise.noise.pallas_bloom import bloom_pallas
+            params = G.bloom_params(key, img_u8.shape[0], img_u8.shape[1],
+                                    hw=hw)
+            return bloom_pallas(img_u8, params), 'u8'
         return G.bloom(key, img_u8, hw=hw), 'u8'
     if k == Kind.SHADER:
         return G.shader(img_u8), 'u8'
@@ -106,7 +114,7 @@ _WAVELET_ON_FLOAT = {Kind.GAUSSIAN, Kind.SAP, Kind.SPECKLE, Kind.UNIFORM,
 
 
 def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
-               hw=None) -> jnp.ndarray:
+               hw=None, use_pallas: bool = False) -> jnp.ndarray:
     """One (kind, level, denoise) combination on one image.
 
     Returns float32 in the domain the reference would feed downstream:
@@ -115,7 +123,8 @@ def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
     denoise stencils run on the full canvas — callers pad with edge
     replication so the valid-boundary stencil halo sees plausible pixels.
     """
-    noisy, dom = _noisy_float(spec, key, img_u8, hw=hw)
+    noisy, dom = _noisy_float(spec, key, img_u8, hw=hw,
+                              use_pallas=use_pallas)
     if dom == 'unit':
         u8 = G.wrap_cast_u8(255.0 * noisy)
     else:
@@ -168,7 +177,8 @@ def _to_fast_keys(keys):
     return jax.vmap(one)(keys)
 
 
-def _apply_specs_batched(specs, keys, images, hw=None):
+def _apply_specs_batched(specs, keys, images, hw=None,
+                         use_pallas: bool = False):
     """Per-image spec application over a batch.
 
     Single spec: plain vmap.  Mix (>1 specs): lax.scan over images with a
@@ -180,9 +190,12 @@ def _apply_specs_batched(specs, keys, images, hw=None):
     stays ONE dispatch.  Bit-identical to the vmap formulation."""
     if hw is None:
         if len(specs) == 1:
-            return jax.vmap(functools.partial(apply_spec, specs[0])
+            return jax.vmap(functools.partial(apply_spec, specs[0],
+                                              use_pallas=use_pallas)
                             )(keys, images)
-        branches = [functools.partial(apply_spec, s) for s in specs]
+        branches = [functools.partial(apply_spec, s,
+                                      use_pallas=use_pallas)
+                    for s in specs]
 
         def body(_, ki):
             k, img = ki
@@ -193,10 +206,11 @@ def _apply_specs_batched(specs, keys, images, hw=None):
         _, out = jax.lax.scan(body, None, (keys, images))
         return out
     if len(specs) == 1:
-        return jax.vmap(lambda k, im, e: apply_spec(specs[0], k, im,
-                                                    hw=e))(keys, images, hw)
-    branches = [(lambda s: lambda k, im, e: apply_spec(s, k, im, hw=e))(s)
-                for s in specs]
+        return jax.vmap(lambda k, im, e: apply_spec(
+            specs[0], k, im, hw=e, use_pallas=use_pallas))(keys, images,
+                                                           hw)
+    branches = [(lambda s: lambda k, im, e: apply_spec(
+        s, k, im, hw=e, use_pallas=use_pallas))(s) for s in specs]
 
     def body(_, ki):
         k, img, e = ki
@@ -222,7 +236,8 @@ def _pallas_bilateral_pipeline(specs, n_stages: int, keyfix=lambda ks: ks):
     @jax.jit
     def run(key, images):
         keys = keyfix(jax.random.split(key, images.shape[0]))
-        out = _apply_specs_batched(stripped, keys, images)
+        out = _apply_specs_batched(stripped, keys, images,
+                                   use_pallas=True)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
@@ -230,7 +245,8 @@ def _pallas_bilateral_pipeline(specs, n_stages: int, keyfix=lambda ks: ks):
     @jax.jit
     def run_keyed(keys, images):
         ks = keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
-        out = _apply_specs_batched(stripped, ks, images)
+        out = _apply_specs_batched(stripped, ks, images,
+                                   use_pallas=True)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
@@ -238,7 +254,8 @@ def _pallas_bilateral_pipeline(specs, n_stages: int, keyfix=lambda ks: ks):
     @jax.jit
     def run_masked(keys, images, hw):
         ks = keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
-        out = _apply_specs_batched(stripped, ks, images, hw)
+        out = _apply_specs_batched(stripped, ks, images, hw,
+                                   use_pallas=True)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
@@ -264,14 +281,17 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
     is what the production call sites (Solver, eval harness) use.
 
     fast_rng swaps the XLA generators' per-image keys for rbg (hardware
-    RNG) keys — see _to_fast_keys.  Default None = off for now: the rbg
-    path crashed this environment's TPU worker on the 41-branch mix
-    program (under investigation); opt in explicitly where validated.
+    RNG) keys — see _to_fast_keys.  Default None = auto: on for TPU, off
+    elsewhere (keeps CPU parity tests on the documented threefry stream).
+    KNOWN LIMIT (this environment): wrapping a fast_rng mix pipeline in
+    an OUTER lax.scan faults the TPU worker (nested scan + rng-bit-
+    generator); plain per-batch calls — all production call sites — are
+    validated.  bench.py times these configs with chained dispatches.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
     if fast_rng is None:
-        fast_rng = False
+        fast_rng = jax.default_backend() == 'tpu'
     _keyfix = _to_fast_keys if fast_rng else (lambda ks: ks)
     if isinstance(plan, str):
         plan = parse(plan, mode=mode, strict_ref=strict_ref)
@@ -403,7 +423,8 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
     @jax.jit
     def run(key, images):
         keys = _keyfix(jax.random.split(key, images.shape[0]))
-        return _post_batched(_apply_specs_batched(specs, keys, images))
+        return _post_batched(_apply_specs_batched(
+            specs, keys, images, use_pallas=use_pallas))
 
     @jax.jit
     def run_keyed(keys, images):
@@ -411,7 +432,8 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         # eval harness); reproduce the B=1 run() stream exactly:
         # split(k, 1)[0] per image
         ks = _keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
-        return _post_batched(_apply_specs_batched(specs, ks, images))
+        return _post_batched(_apply_specs_batched(
+            specs, ks, images, use_pallas=use_pallas))
 
     @jax.jit
     def run_masked(keys, images, hw):
@@ -419,7 +441,8 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         # the per-image valid (h, w); raster-dependent generators follow
         # the valid geometry, caller crops the output back to (h, w)
         ks = _keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
-        return _post_batched(_apply_specs_batched(specs, ks, images, hw))
+        return _post_batched(_apply_specs_batched(
+            specs, ks, images, hw, use_pallas=use_pallas))
 
     run.keyed = run_keyed
     run.masked = run_masked
