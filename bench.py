@@ -87,16 +87,17 @@ def bench_config1(images_u8, seeds):
 
 def bench_config3(images_f32, noise, n_chain=6, reps=3):
     """Mixed-noise batch + denoise post-pass through the production
-    make_pipeline routing (fast_rng hardware-RNG generators; bilateral
-    rides the batched Pallas stencil; wavelet runs the XLA lifting DWT).
+    make_pipeline routing (bilateral rides the batched Pallas stencil;
+    wavelet runs the XLA lifting DWT).
 
     Timed as a serially data-dependent CHAIN of plain pipeline calls
     (like bench_config4) instead of an outer lax.scan: production always
-    calls the pipeline once per batch, and on this environment an outer
-    scan around a fast_rng mix program faults the TPU worker.  The chain
-    keeps dispatches async (one final readback) so tunnel latency hides.
-    Smaller batch than the headline: the mixed XLA program keeps several
-    full-batch f32 temporaries live, so batch 128 overflows HBM."""
+    calls the pipeline once per batch, and the chain keeps dispatches
+    async (one final readback) so tunnel latency hides.  Measured
+    equivalent to the outer-scan method (175 vs 163 img/s on the wavelet
+    config).  Smaller batch than the headline: the mixed XLA program
+    keeps several full-batch f32 temporaries live, so batch 128
+    overflows HBM."""
     from tpudenoise.noise.pipeline import make_pipeline
     fn = make_pipeline(noise, mode='TRAIN')
     key = jax.random.PRNGKey(3)

@@ -227,3 +227,43 @@ def test_parse_levels():
     assert parse('quant_var10').specs[0].level == 10
     assert parse('uniform_bilateral_var1.2').specs[0].denoise == \
         Denoise.BILATERAL
+
+
+# ------------------------------------------------- fixed-round samplers --
+
+def test_poisson_fixed_chi2_across_lam():
+    """poisson_fixed (inverse-CDF < 10 <= PTRS) is distributionally exact:
+    chi-square GoF vs scipy pmf across the split boundary and the u8 lam
+    range (lam = pixel * vals <= 256)."""
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.noise.fast_samplers import poisson_fixed
+    key = jax.random.PRNGKey(0)
+    n = 200_000
+    for lam in (0.5, 9.5, 10.5, 256.0):
+        out = np.asarray(poisson_fixed(key, jnp.full((n,), lam))).astype(int)
+        assert (out >= 0).all()
+        kmax = int(st.poisson(lam).ppf(1 - 1e-6)) + 2
+        obs = np.bincount(out, minlength=kmax + 1)[:kmax + 1].astype(float)
+        exp = st.poisson(lam).pmf(np.arange(kmax + 1)) * n
+        m = exp > 20
+        chi2 = ((obs[m] - exp[m]) ** 2 / exp[m]).sum()
+        dof = int(m.sum()) - 1
+        p = 1 - st.chi2(dof).cdf(chi2)
+        assert p > 1e-4, (lam, chi2, dof, p)
+    # lam=0 maps to exactly 0
+    z = np.asarray(poisson_fixed(key, jnp.zeros((1000,))))
+    np.testing.assert_array_equal(z, 0.0)
+
+
+def test_gamma_fixed_matches_scipy():
+    """Marsaglia-Tsang fixed-round gamma: KS vs scipy at the generator's
+    shape (1.99) and a larger one."""
+    import jax
+    from tpudenoise.noise.fast_samplers import gamma_fixed
+    key = jax.random.PRNGKey(1)
+    for a in (1.99, 4.0):
+        out = np.asarray(gamma_fixed(key, a, (200_000,)))
+        assert (out > 0).all()
+        ks = st.kstest(out, st.gamma(a).cdf).statistic
+        assert ks < 0.01, (a, ks)

@@ -113,20 +113,20 @@ def _synthesis_1d(lo: jnp.ndarray, hi: jnp.ndarray, n: int, axis: int):
 
 
 def dwt2(x: jnp.ndarray):
-    """Single-level 2-D DWT of (H, W) -> (aa, (ad, da, dd))."""
-    lo, hi = _analysis_1d(x, axis=0)
-    aa, ad = _analysis_1d(lo, axis=1)
-    da, dd = _analysis_1d(hi, axis=1)
+    """Single-level 2-D DWT over the LAST TWO axes: (..., H, W) ->
+    (aa, (ad, da, dd)); leading axes batch through the conv helpers."""
+    lo, hi = _analysis_1d(x, axis=-2)
+    aa, ad = _analysis_1d(lo, axis=-1)
+    da, dd = _analysis_1d(hi, axis=-1)
     return aa, (ad, da, dd)
 
 
 def idwt2(aa, details, shape):
     ad, da, dd = details
-    h, w = shape
-    hw = aa.shape[0]
-    lo = _synthesis_1d(aa, ad, w, axis=1)
-    hi = _synthesis_1d(da, dd, w, axis=1)
-    return _synthesis_1d(lo, hi, h, axis=0)
+    h, w = shape[-2], shape[-1]
+    lo = _synthesis_1d(aa, ad, w, axis=-1)
+    hi = _synthesis_1d(da, dd, w, axis=-1)
+    return _synthesis_1d(lo, hi, h, axis=-2)
 
 
 def wavedec2(x: jnp.ndarray, levels: int):
@@ -176,6 +176,34 @@ def denoise_channel(x: jnp.ndarray, levels: int) -> jnp.ndarray:
     return waverec2(a, new_coeffs, shapes)
 
 
+def _bayes_threshold_c(d: jnp.ndarray, var) -> jnp.ndarray:
+    """Per-channel BayesShrink threshold for (C, H', W') detail bands."""
+    dvar = jnp.mean(d * d, axis=(-2, -1), keepdims=True)
+    eps = jnp.finfo(jnp.float32).eps
+    return var / jnp.sqrt(jnp.maximum(dvar - var, eps))
+
+
+def denoise_channels(x: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """BayesShrink denoise of a (C, H, W) stack, per-channel statistics.
+
+    Same math as denoise_channel per plane, but every DWT conv runs once
+    over all C planes (the analysis/synthesis helpers batch over leading
+    dims) — 3x fewer XLA conv calls for the RGB path."""
+    a, coeffs, shapes = wavedec2(x, levels)
+    dd1 = coeffs[0][2]
+    sigma = jnp.median(jnp.abs(dd1.reshape(dd1.shape[0], -1)),
+                       axis=-1)[:, None, None] / 0.67448975
+    var = sigma * sigma
+    new_coeffs = []
+    for (ad, da, dd) in coeffs:
+        new_coeffs.append((
+            _soft(ad, _bayes_threshold_c(ad, var)),
+            _soft(da, _bayes_threshold_c(da, var)),
+            _soft(dd, _bayes_threshold_c(dd, var)),
+        ))
+    return waverec2(a, new_coeffs, shapes)
+
+
 @functools.partial(jax.jit, static_argnames=('levels',))
 def denoise_wavelet(img01: jnp.ndarray, levels: int | None = None
                     ) -> jnp.ndarray:
@@ -190,14 +218,10 @@ def denoise_wavelet(img01: jnp.ndarray, levels: int | None = None
     h, w = img01.shape[0], img01.shape[1]
     if levels is None:
         levels = default_levels(h, w)
-    ycc = rgb01_to_ycbcr(img01)
-    outs = []
-    for c in range(3):
-        ch = ycc[..., c]
-        mn = jnp.min(ch)
-        mx = jnp.max(ch)
-        rng = jnp.maximum(mx - mn, jnp.finfo(jnp.float32).eps)
-        d = denoise_channel((ch - mn) / rng, levels)
-        outs.append(d * rng + mn)
-    out = jnp.stack(outs, axis=-1)
+    ycc = jnp.moveaxis(rgb01_to_ycbcr(img01), -1, 0)      # (3, H, W)
+    mn = jnp.min(ycc, axis=(-2, -1), keepdims=True)
+    mx = jnp.max(ycc, axis=(-2, -1), keepdims=True)
+    rng = jnp.maximum(mx - mn, jnp.finfo(jnp.float32).eps)
+    d = denoise_channels((ycc - mn) / rng, levels)
+    out = jnp.moveaxis(d * rng + mn, 0, -1)
     return ycbcr_to_rgb01(out)

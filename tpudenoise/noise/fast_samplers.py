@@ -1,0 +1,141 @@
+"""Fixed-round vectorized samplers for the TPU-hostile distributions.
+
+`jax.random.poisson` / `jax.random.gamma` implement textbook rejection
+sampling with data-dependent `while_loop`s — correct, but pathological on
+TPU inside the mixed-noise programs (measured 15.3 / 18.2 ms per 600x1000
+image vs ~0.1 ms for a normal draw; the loop iterates at full image width
+until the LAST pixel accepts).  These replacements re-express the same
+distributions with a FIXED number of vectorized rounds so the whole
+sampler is straight-line elementwise code (fusable, scannable, no control
+flow):
+
+  * poisson_fixed — exact inverse-CDF summation for lam < _SPLIT (one
+    uniform + a 42-term fused recurrence), Hörmann's PTRS transformed
+    rejection (4 rounds) for large lam.  Residual failure probability
+    <= ~1e-5 per pixel falls back to the rounded normal approximation.
+  * gamma_fixed — Marsaglia-Tsang squeeze (4 rounds, acceptance ~97% per
+    round for shape ~2); residual ~1e-6 falls back to the last
+    candidate's d*v (unconditioned), a bias on <0.0002% of pixels.
+
+The RNG *stream* differs from jax.random's samplers (the reference is
+numpy/scipy on the host anyway — parity is distributional, not
+streamwise; tests pin moments/KS against scipy).
+
+PTRS reference: W. Hörmann, "The transformed rejection method for
+generating Poisson random variables" (1993).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_SPLIT = 10.0     # lam cutoff between inverse-CDF and PTRS
+_N_INV = 42       # inverse-CDF terms: P(Poisson(10) >= 42) ~ 4e-14
+_PTRS_ROUNDS = 4  # PTRS acceptance >= ~0.93 for lam >= 10
+
+
+def _poisson_inv_cdf(u: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
+    """Exact Poisson sampling by CDF inversion, valid for small lam.
+
+    k = min{n : sum_{i<=n} pmf(i) > u}, computed with the stable
+    recurrence p_{k} = p_{k-1} * lam / k starting at p_0 = e^-lam
+    (e^-10 ~ 4.5e-5 — comfortably inside f32).
+    """
+    p = jnp.exp(-lam)
+    cdf = p
+    k = jnp.zeros_like(u)
+    for n in range(1, _N_INV):
+        k = jnp.where(u > cdf, jnp.float32(n), k)
+        p = p * lam / jnp.float32(n)
+        cdf = cdf + p
+    return k
+
+
+def _poisson_ptrs(key, lam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """PTRS transformed rejection, _PTRS_ROUNDS fixed rounds.
+
+    Returns (k, ok); pixels with ok=False failed every round.
+    """
+    b = 0.931 + 2.53 * jnp.sqrt(lam)
+    a = -0.059 + 0.02483 * b
+    inv_alpha = 1.1239 + 1.1328 / (b - 3.4)
+    v_r = 0.9277 - 3.6224 / (b - 2.0)
+    log_lam = jnp.log(lam)
+
+    k = jnp.zeros_like(lam)
+    ok = jnp.zeros(lam.shape, jnp.bool_)
+    for r in range(_PTRS_ROUNDS):
+        ku, kv = jax.random.split(jax.random.fold_in(key, r))
+        u = jax.random.uniform(ku, lam.shape, lam.dtype) - 0.5
+        v = jax.random.uniform(kv, lam.shape, lam.dtype)
+        us = 0.5 - jnp.abs(u)
+        cand = jnp.floor((2.0 * a / us + b) * u + lam + 0.43)
+        # fast acceptance region
+        accept = (us >= 0.07) & (v <= v_r)
+        # full acceptance test (guarded against us ~ 0 and cand < 0)
+        safe = (cand >= 0.0) & ((us >= 0.013) | (v <= us))
+        lhs = jnp.log(v * inv_alpha / (a / (us * us) + b))
+        rhs = -lam + cand * log_lam - jax.lax.lgamma(cand + 1.0)
+        accept = accept | (safe & (lhs <= rhs))
+        take = accept & ~ok
+        k = jnp.where(take, cand, k)
+        ok = ok | accept
+    return k, ok
+
+
+def poisson_fixed(key, lam: jnp.ndarray) -> jnp.ndarray:
+    """Poisson(lam) draws, float32 counts, lam >= 0 elementwise.
+
+    Exact inverse-CDF for lam < _SPLIT; PTRS (4 fixed rounds) above, with
+    a rounded-normal fallback on the ~1e-5 residual.
+    """
+    lam = lam.astype(jnp.float32)
+    k_inv_key, k_ptrs_key, k_norm_key = jax.random.split(key, 3)
+    small = lam < _SPLIT
+
+    u = jax.random.uniform(k_inv_key, lam.shape, jnp.float32)
+    # clamp the inverse-CDF lam so the large-lam lanes don't overflow the
+    # 42-term recurrence (their value is discarded by the select)
+    k_small = _poisson_inv_cdf(u, jnp.minimum(lam, _SPLIT))
+
+    lam_big = jnp.maximum(lam, _SPLIT)  # keep PTRS constants in-domain
+    k_big, ok = _poisson_ptrs(k_ptrs_key, lam_big)
+    z = jax.random.normal(k_norm_key, lam.shape, jnp.float32)
+    k_fallback = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z), 0.0)
+    k_big = jnp.where(ok, k_big, k_fallback)
+
+    return jnp.where(small, k_small, k_big)
+
+
+def gamma_fixed(key, a: float, shape, dtype=jnp.float32) -> jnp.ndarray:
+    """Gamma(a, 1) draws for static shape parameter a > 1.
+
+    Marsaglia-Tsang (2000) squeeze with 4 fixed rounds: d = a - 1/3,
+    c = 1/sqrt(9d); x ~ N(0,1), v = (1+cx)^3, accept v > 0 and
+    ln U < x^2/2 + d - dv + d ln v.  Residual failures (~1e-6 of lanes
+    for a ~ 2) keep the last round's d*v.
+    """
+    if not a > 1.0:
+        raise ValueError(f'gamma_fixed requires shape a > 1, got {a}')
+    d = jnp.asarray(a - 1.0 / 3.0, dtype)
+    c = 1.0 / jnp.sqrt(9.0 * d)
+
+    out = jnp.zeros(shape, dtype)        # overwritten on any accept
+    last = d * jnp.ones(shape, dtype)    # most recent positive candidate
+    ok = jnp.zeros(shape, jnp.bool_)
+    for r in range(4):
+        kx, ku = jax.random.split(jax.random.fold_in(key, r))
+        x = jax.random.normal(kx, shape, dtype)
+        v = (1.0 + c * x) ** 3
+        u = jax.random.uniform(ku, shape, dtype,
+                               jnp.finfo(dtype).tiny, 1.0)
+        pos = v > 0.0
+        vs = jnp.where(pos, v, 1.0)  # guard log of non-positive
+        accept = pos & (jnp.log(u) <
+                        0.5 * x * x + d * (1.0 - vs + jnp.log(vs)))
+        cand = d * vs
+        out = jnp.where(accept & ~ok, cand, out)
+        ok = ok | accept
+        last = jnp.where(pos, cand, last)
+    return jnp.where(ok, out, last)  # residual: last positive candidate

@@ -66,12 +66,10 @@ def poisson(key, x01: jnp.ndarray, img_u8: jnp.ndarray) -> jnp.ndarray:
     n_unique = jnp.sum(hist > 0)
     vals = 2.0 ** jnp.ceil(jnp.log2(n_unique.astype(jnp.float32)))
     lam = x01 * vals
-    # jax.random.poisson is threefry-only: coerce rbg/fast keys (first two
-    # key-data words) so the pipeline's fast_rng path can still draw
-    if str(jax.random.key_impl(key)) != 'threefry2x32':
-        data = jax.random.key_data(key).reshape(-1)[:2]
-        key = jax.random.wrap_key_data(data, impl='threefry2x32')
-    out = jax.random.poisson(key, lam, x01.shape).astype(x01.dtype) / vals
+    # fixed-round sampler: jax.random.poisson's rejection while_loop costs
+    # ~15 ms/image on TPU inside the mix programs (see fast_samplers)
+    from tpudenoise.noise.fast_samplers import poisson_fixed
+    out = poisson_fixed(key, lam).astype(x01.dtype) / vals
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -103,8 +101,11 @@ def uniform_add(key, x01: jnp.ndarray, high: float) -> jnp.ndarray:
 def gamma_add(key, x01: jnp.ndarray, scale: float,
               a: float = 1.99) -> jnp.ndarray:
     """scipy.stats.gamma.rvs(a=1.99, scale) added, no clip
-    (ref test.py:1300-1437)."""
-    g = jax.random.gamma(key, a, x01.shape, x01.dtype) * scale
+    (ref test.py:1300-1437).  Fixed-round Marsaglia-Tsang sampler:
+    jax.random.gamma's while_loop costs ~18 ms/image on TPU (see
+    fast_samplers)."""
+    from tpudenoise.noise.fast_samplers import gamma_fixed
+    g = gamma_fixed(key, a, x01.shape, x01.dtype) * scale
     return x01 + g
 
 

@@ -19,12 +19,16 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 N_STEPS = 48
 _TILE = 64
 
 
 def _bloom_kernel(params_ref, img_ref, out_ref):
+    # params_ref is the scalar-prefetch arg (SMEM): Mosaic only allows
+    # the program_id-dependent color-column index on a scalar ref (a
+    # dynamic lane index into a VMEM block fails to lower)
     cid = pl.program_id(0)
     t, wdt = img_ref.shape[1], img_ref.shape[2]
     y0 = pl.program_id(1) * t
@@ -61,12 +65,15 @@ def bloom_pallas(img_u8: jnp.ndarray, params: jnp.ndarray,
     planar = jnp.pad(planar, ((0, 0), (0, hp - h), (0, 0)))
     out = pl.pallas_call(
         _bloom_kernel,
-        grid=(3, hp // _TILE),
-        in_specs=[
-            pl.BlockSpec((N_STEPS, 8), lambda c, i: (0, 0)),
-            pl.BlockSpec((1, _TILE, w), lambda c, i: (c, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, _TILE, w), lambda c, i: (c, i, 0)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(3, hp // _TILE),
+            in_specs=[
+                pl.BlockSpec((1, _TILE, w), lambda c, i, p: (c, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, _TILE, w),
+                                   lambda c, i, p: (c, i, 0)),
+        ),
         out_shape=jax.ShapeDtypeStruct((3, hp, w), jnp.float32),
         interpret=interpret,
     )(params.astype(jnp.float32), planar)

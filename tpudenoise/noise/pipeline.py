@@ -281,17 +281,17 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
     is what the production call sites (Solver, eval harness) use.
 
     fast_rng swaps the XLA generators' per-image keys for rbg (hardware
-    RNG) keys — see _to_fast_keys.  Default None = auto: on for TPU, off
-    elsewhere (keeps CPU parity tests on the documented threefry stream).
-    KNOWN LIMIT (this environment): wrapping a fast_rng mix pipeline in
-    an OUTER lax.scan faults the TPU worker (nested scan + rng-bit-
-    generator); plain per-batch calls — all production call sites — are
-    validated.  bench.py times these configs with chained dispatches.
+    RNG) keys — see _to_fast_keys.  Default None = OFF everywhere:
+    MEASURED ~300x SLOWER on TPU v5e for the scanned-switch mix program
+    (0.6 vs 175 img/s, mix_var_all_wavelet B=16 — the rbg generator is
+    pathological inside lax.scan branches here), and wrapping a fast_rng
+    mix program in an OUTER lax.scan faults the TPU worker outright.
+    The knob is kept for experimentation on other hardware only.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
     if fast_rng is None:
-        fast_rng = jax.default_backend() == 'tpu'
+        fast_rng = False
     _keyfix = _to_fast_keys if fast_rng else (lambda ks: ks)
     if isinstance(plan, str):
         plan = parse(plan, mode=mode, strict_ref=strict_ref)
