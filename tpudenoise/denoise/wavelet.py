@@ -66,50 +66,58 @@ def _sym_ext(x: jnp.ndarray, pad: int, axis: int) -> jnp.ndarray:
 
 def _analysis_1d(x: jnp.ndarray, axis: int):
     """One DWT level along `axis`.  x: any shape.  Returns (lo, hi) with
-    length ceil-style floor((n + L - 1)/2) along axis."""
+    length ceil-style floor((n + L - 1)/2) along axis.
+
+    Implemented as 10 strided-slice multiply-adds rather than an XLA
+    conv: a channels=1 conv has a degenerate MXU contraction dim and
+    lowers to scalar-width dots on TPU (measured ~3x slower end-to-end);
+    shifted slices stay pure vector code and fuse."""
     x = jnp.moveaxis(x, axis, -1)
-    shp = x.shape
-    n = shp[-1]
-    ext = _sym_ext(x.reshape(-1, 1, n), _L - 1, axis=-1)
-    # full conv then downsample phase 1 == valid conv of ext with stride 2
-    # starting at offset 1
-    ext = ext[..., 1:]
-    rhs_lo = jnp.asarray(DEC_LO[::-1].copy()).reshape(1, 1, _L)
-    rhs_hi = jnp.asarray(DEC_HI[::-1].copy()).reshape(1, 1, _L)
-    dn = ('NCH', 'OIH', 'NCH')
-    lo = jax.lax.conv_general_dilated(ext, rhs_lo, (2,), 'VALID',
-                                      dimension_numbers=dn)
-    hi = jax.lax.conv_general_dilated(ext, rhs_hi, (2,), 'VALID',
-                                      dimension_numbers=dn)
-    m = lo.shape[-1]
-    lo = jnp.moveaxis(lo.reshape(shp[:-1] + (m,)), -1, axis)
-    hi = jnp.moveaxis(hi.reshape(shp[:-1] + (m,)), -1, axis)
-    return lo, hi
+    n = x.shape[-1]
+    # full conv then downsample phase 1 == valid correlation of ext with
+    # stride 2 starting at offset 1
+    ext = _sym_ext(x, _L - 1, axis=-1)[..., 1:]
+    m = (n + _L - 1) // 2
+    w_lo = DEC_LO[::-1]
+    w_hi = DEC_HI[::-1]
+    lo = hi = 0.0
+    for k in range(_L):
+        sl = ext[..., k:k + 2 * m - 1:2]
+        lo = lo + float(w_lo[k]) * sl
+        if w_hi[k] != 0.0:
+            hi = hi + float(w_hi[k]) * sl
+    return jnp.moveaxis(lo, -1, axis), jnp.moveaxis(hi, -1, axis)
+
+
+def _upsample2(a: jnp.ndarray) -> jnp.ndarray:
+    """Zero-stuff: (..., m) -> (..., 2m-1) with a[i] at even indices."""
+    m = a.shape[-1]
+    z = jnp.stack([a, jnp.zeros_like(a)], axis=-1)
+    return z.reshape(a.shape[:-1] + (2 * m,))[..., :2 * m - 1]
 
 
 def _synthesis_1d(lo: jnp.ndarray, hi: jnp.ndarray, n: int, axis: int):
-    """Inverse of _analysis_1d: upsample by 2, filter, sum, trim to n."""
+    """Inverse of _analysis_1d: upsample by 2, filter, sum, trim to n.
+    Same shifted-slice formulation as the analysis (see note there)."""
     lo = jnp.moveaxis(lo, axis, -1)
     hi = jnp.moveaxis(hi, axis, -1)
-    shp = lo.shape
-    m = shp[-1]
-    lo2 = lo.reshape(-1, 1, m)
-    hi2 = hi.reshape(-1, 1, m)
-    dn = ('NCH', 'OIH', 'NCH')
-    rhs_lo = jnp.asarray(REC_LO[::-1].copy()).reshape(1, 1, _L)
-    rhs_hi = jnp.asarray(REC_HI[::-1].copy()).reshape(1, 1, _L)
-    # transposed conv: lhs dilation 2 (zero-stuffing), full padding
-    y = (jax.lax.conv_general_dilated(
-            lo2, rhs_lo, (1,), [(_L - 1, _L - 1)], lhs_dilation=(2,),
-            dimension_numbers=dn)
-         + jax.lax.conv_general_dilated(
-            hi2, rhs_hi, (1,), [(_L - 1, _L - 1)], lhs_dilation=(2,),
-            dimension_numbers=dn))
+    m = lo.shape[-1]
+    pad = [(0, 0)] * (lo.ndim - 1) + [(_L - 1, _L - 1)]
+    zlo = jnp.pad(_upsample2(lo), pad)
+    zhi = jnp.pad(_upsample2(hi), pad)
+    out_len = 2 * m + _L - 2
+    w_lo = REC_LO[::-1]
+    w_hi = REC_HI[::-1]
+    y = 0.0
+    for k in range(_L):
+        if w_lo[k] != 0.0:
+            y = y + float(w_lo[k]) * zlo[..., k:k + out_len]
+        if w_hi[k] != 0.0:
+            y = y + float(w_hi[k]) * zhi[..., k:k + out_len]
     # trim the symmetric-extension transient: the analysis added L-1
     # samples of context; PR offset derived from the phase choice above
     start = _L - 2
-    y = y[..., start:start + n]
-    return jnp.moveaxis(y.reshape(shp[:-1] + (n,)), -1, axis)
+    return jnp.moveaxis(y[..., start:start + n], -1, axis)
 
 
 def dwt2(x: jnp.ndarray):
