@@ -82,7 +82,13 @@ def test_train_step_updates_and_freezes(small_model):
     m, _, cfg = small_model
     cfg = cfg.clone()
     cfg.TRAIN.LEARNING_RATE = 1e-4
-    m2 = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
+    # anchors must FIT inside the tiny 120x180 test image: at the default
+    # scales (8, 16, 32) even the smallest anchor is 128 px, every label
+    # is -1 and the direct RPN loss path is identically zero (gradients
+    # to rpn_conv then only existed through the rois->targets leak the
+    # reference's tf.py_func boundary forbids — now stop_gradient'ed)
+    m2 = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg,
+                    anchor_scales=(2, 4, 8))
     init_state, step_fn = make_train_step(m2, cfg)
     state = init_state(KEY, image_shape=(128, 192))
     rng = np.random.RandomState(0)
@@ -188,3 +194,18 @@ def test_lr_warmup_schedule():
     cfg2 = default_config()
     s2 = lr_schedule(cfg2)
     assert abs(float(s2(0)) - lr) < 1e-9
+
+
+def test_crop_and_resize_matmul_matches_gather():
+    """The MXU (separable matmul) formulation and the 4-corner-gather
+    oracle agree to float tolerance, including out-of-range extrapolation
+    rows and the crop_size=1 midpoint branch."""
+    from tpudenoise.ops.roi_align import crop_and_resize_gather
+    rng = np.random.RandomState(7)
+    feat = rng.randn(19, 27, 8).astype(np.float32)
+    boxes = rng.uniform(-0.3, 1.2, (23, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + np.abs(boxes[:, 2:] - boxes[:, :2])
+    for crop in (7, 14, 1):
+        got = np.asarray(crop_and_resize(feat, boxes, crop))
+        want = np.asarray(crop_and_resize_gather(feat, boxes, crop))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

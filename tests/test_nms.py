@@ -156,3 +156,26 @@ def test_nms_empty_valid():
     keep, mask = nms(boxes, scores, 0.5, max_outputs=5,
                      valid=np.zeros(10, bool))
     assert not np.asarray(mask).any()
+
+
+def test_nms_packed_grad_through_pallas_path():
+    """jax.grad through nms_packed on the Pallas builder path must not hit
+    pallas_call's missing JVP rule (regression: the TPU train step at the
+    full RPN budget raised NotImplementedError).  NMS outputs are integer
+    indices, so nms_packed severs tangents internally; downstream gathers
+    of differentiable boxes still carry gradient."""
+    import jax
+    import jax.numpy as jnp
+
+    def f(d):
+        boxes = jnp.abs(d) * 100
+        boxes = boxes.at[:, 2:].add(boxes[:, :2] + 5)
+        scores = boxes[:, 0] * 0.01
+        k, m = nms_packed(boxes, scores, 0.7, max_outputs=8,
+                          use_pallas=True, interpret=True)
+        rois = jnp.where(m[:, None], boxes[jnp.maximum(k, 0)], 0.0)
+        return jnp.sum(rois)
+
+    g = jax.grad(f)(jnp.ones((64, 4), jnp.float32))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.abs(np.asarray(g)).sum()) > 0.0

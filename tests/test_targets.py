@@ -143,3 +143,28 @@ def test_proposal_targets_no_fg_fallback():
     labels = np.asarray(pt.labels)
     assert np.all(labels == 0)
     assert np.asarray(pt.bbox_inside_weights).sum() == 0
+
+
+def test_proposal_target_layer_is_a_gradient_boundary():
+    """The reference computes proposal targets in tf.py_func
+    (network.py:189-193): no gradient flows from RoI-head losses back to
+    the RPN through sampled rois/targets.  Assert the JAX twin severs
+    that path too."""
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.PRNGKey(0)
+    gt = jnp.asarray([[10., 10., 60., 60., 1.]])
+    gt_mask = jnp.asarray([True])
+
+    def f(rois):
+        pt = proposal_target_layer(key, rois, jnp.ones(rois.shape[0], bool),
+                                   gt, gt_mask, num_classes=2, batch=8)
+        return (jnp.sum(pt.rois) + jnp.sum(pt.bbox_targets)
+                + jnp.sum(pt.labels.astype(jnp.float32)))
+
+    rois = jnp.asarray(np.random.RandomState(0).uniform(0, 80, (16, 4))
+                       .astype(np.float32))
+    rois = rois.at[:, 2:].add(rois[:, :2])
+    g = jax.grad(f)(rois)
+    assert float(jnp.abs(g).sum()) == 0.0

@@ -298,6 +298,12 @@ def nms_packed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
     elsewhere); the two builders are bit-identical.
     """
     n_in = boxes.shape[0]
+    # NMS emits integer indices — no gradient ever flows through it.
+    # Severing tangents here lets JVP/VJP tracing skip the Pallas mask
+    # builder (pallas_call has no JVP rule; without this jax.grad through
+    # proposal_layer at the train budget raises NotImplementedError).
+    boxes = jax.lax.stop_gradient(boxes)
+    scores = jax.lax.stop_gradient(scores)
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
     # tile >= 256 keeps the packed output block (tile//32, tile) on the

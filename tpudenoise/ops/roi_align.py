@@ -7,9 +7,14 @@ the (H-1, W-1) extent, sample grid index i in [0, crop-1] maps to
 y1*(H-1) + i*(y2-y1)*(H-1)/(crop-1), bilinear with extrapolation value 0
 outside the image.
 
-Implemented as a 4-corner gather over the flattened feature map — a single
-XLA gather per corner, static shapes, no host round-trip (the reference
-routes this through tf.image.crop_and_resize on a [1,H,W,C] tensor).
+Implemented as separable bilinear-interpolation MATMULS: per RoI a
+(S, H) row-weight matrix and an (S, W) column-weight matrix (each row
+two nonzeros — the bilinear taps), applied as out = A @ feat @ B^T over
+R-chunks.  On TPU this runs on the MXU; the naive 4-corner gather
+formulation (kept below as `crop_and_resize_gather`) bottoms out at
+<10% of HBM bandwidth in XLA's gather lowering and dominated the whole
+detection forward (measured ~3.5 ms vs ~0.2 ms for 300 RoIs of a
+38x64x1024 res101 feature map).
 """
 
 from __future__ import annotations
@@ -20,11 +25,76 @@ import jax
 import jax.numpy as jnp
 
 
+def _interp_weights(coords: jnp.ndarray, size: int, dtype) -> jnp.ndarray:
+    """coords: (R, S) continuous sample positions along an axis of length
+    `size`.  Returns (R, S, size) bilinear tap weights; rows for samples
+    outside [0, size-1] are all-zero (tf extrapolation_value=0)."""
+    valid = (coords >= 0) & (coords <= size - 1)
+    c0 = jnp.floor(coords)
+    frac = coords - c0
+    c0i = jnp.clip(c0, 0, size - 1).astype(jnp.int32)
+    c1i = jnp.clip(c0i + 1, 0, size - 1)
+    iota = jnp.arange(size, dtype=jnp.int32)
+    w = ((iota[None, None, :] == c0i[..., None]) * (1.0 - frac[..., None])
+         + (iota[None, None, :] == c1i[..., None]) * frac[..., None])
+    return jnp.where(valid[..., None], w, 0.0).astype(dtype)
+
+
+def _sample_grid(boxes: jnp.ndarray, h: int, w: int, crop_size: int):
+    """Continuous sample positions of tf.image.crop_and_resize."""
+    y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    if crop_size > 1:
+        hs = (y2 - y1) * (h - 1) / (crop_size - 1)
+        ws = (x2 - x1) * (w - 1) / (crop_size - 1)
+        grid = jnp.arange(crop_size, dtype=boxes.dtype)
+        in_y = y1[:, None] * (h - 1) + grid[None, :] * hs[:, None]  # (R, S)
+        in_x = x1[:, None] * (w - 1) + grid[None, :] * ws[:, None]
+    else:
+        in_y = (0.5 * (y1 + y2) * (h - 1))[:, None]
+        in_x = (0.5 * (x1 + x2) * (w - 1))[:, None]
+    return in_y, in_x
+
+
 @functools.partial(jax.jit, static_argnames=('crop_size',))
 def crop_and_resize(feat: jnp.ndarray, boxes: jnp.ndarray,
                     crop_size: int) -> jnp.ndarray:
     """feat: (H, W, C); boxes: (R, 4) normalized (y1, x1, y2, x2).
-    Returns (R, crop_size, crop_size, C)."""
+    Returns (R, crop_size, crop_size, C).
+
+    out[r] = A_r @ feat @ B_r^T with A_r/B_r the bilinear tap weights —
+    two MXU contractions per R-chunk (chunked so the (chunk, S, W, C)
+    intermediate stays small)."""
+    h, w, c = feat.shape
+    r = boxes.shape[0]
+    in_y, in_x = _sample_grid(boxes.astype(jnp.float32), h, w, crop_size)
+    A = _interp_weights(in_y, h, feat.dtype)      # (R, S, H)
+    B = _interp_weights(in_x, w, feat.dtype)      # (R, S, W)
+
+    chunk = min(r, 64)
+    pad = (-r) % chunk
+    if pad:
+        A = jnp.pad(A, ((0, pad), (0, 0), (0, 0)))
+        B = jnp.pad(B, ((0, pad), (0, 0), (0, 0)))
+    nc = (r + pad) // chunk
+    s = A.shape[1]
+    A4 = A.reshape(nc, chunk, s, h)
+    B4 = B.reshape(nc, chunk, s, w)
+
+    def step(_, ab):
+        a, b = ab
+        t = jnp.einsum('riy,yxc->rixc', a, feat)
+        return None, jnp.einsum('rixc,rjx->rijc', t, b)
+
+    _, out = jax.lax.scan(step, None, (A4, B4))
+    return out.reshape(nc * chunk, s, s, c)[:r]
+
+
+@functools.partial(jax.jit, static_argnames=('crop_size',))
+def crop_and_resize_gather(feat: jnp.ndarray, boxes: jnp.ndarray,
+                           crop_size: int) -> jnp.ndarray:
+    """Gather-formulation twin of `crop_and_resize` (4-corner lerp).
+    Kept as the cross-check oracle; same semantics, different rounding
+    (lerp vs weighted sum)."""
     h, w, c = feat.shape
     r = boxes.shape[0]
     y1, x1, y2, x2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]

@@ -125,7 +125,15 @@ def proposal_target_layer(key, rois: jnp.ndarray, roi_mask: jnp.ndarray,
     (ref proposal_target_layer.py:18-152).
 
     rois: (R, 4) image-space proposals with mask; gt_boxes: (G, 5) padded.
+
+    Gradient boundary: the reference wraps this layer in tf.py_func
+    (network.py:189-193), so no gradient flows from the RoI-head losses
+    back into the RPN through the sampled rois or the regression targets.
+    stop_gradient reproduces that boundary (without it the smooth-L1
+    *target* argument would leak loss gradient into the RPN deltas via
+    proposals — a training-dynamics deviation the reference cannot have).
     """
+    rois = jax.lax.stop_gradient(rois)
     if use_gt:  # TRAIN.USE_GT (ref :30-36), off by default
         rois = jnp.concatenate([rois, gt_boxes[:, :4]], axis=0)
         roi_mask = jnp.concatenate([roi_mask, gt_mask], axis=0)
