@@ -85,39 +85,72 @@ def bench_config1(images_u8, seeds):
     return _time_scanned(step, images_u8)
 
 
-def bench_config3(images_f32, noise, n_chain=6, reps=3):
+def bench_config3(images_f32, noise, inner=4, reps=3):
     """Mixed-noise batch + denoise post-pass through the production
     make_pipeline routing (bilateral rides the batched Pallas stencil;
-    wavelet runs the XLA lifting DWT).
+    wavelet runs the MXU band-matrix DWT).
 
-    Timed as a serially data-dependent CHAIN of plain pipeline calls
-    (like bench_config4) instead of an outer lax.scan: production always
-    calls the pipeline once per batch, and the chain keeps dispatches
-    async (one final readback) so tunnel latency hides.  Measured
-    equivalent to the outer-scan method (175 vs 163 img/s on the wavelet
-    config).  Smaller batch than the headline: the mixed XLA program
-    keeps several full-batch f32 temporaries live, so batch 128
+    `inner` pipeline applications scanned inside one jit (the headline
+    methodology) over a 64-image batch, best-of-reps, with a single
+    full-sum readback — strided-slice readouts and per-call readbacks
+    each cost ~2-31 ms through the tunnel and used to understate this
+    config by ~2x.  Smaller batch than the headline: the mixed XLA
+    program keeps several full-batch f32 temporaries live, so batch 128
     overflows HBM."""
     from tpudenoise.noise.pipeline import make_pipeline
     fn = make_pipeline(noise, mode='TRAIN')
     key = jax.random.PRNGKey(3)
-    images = images_f32[:32]
+    images = images_f32[:64]
     b = images.shape[0]
+
+    @jax.jit
+    def run_many(images):
+        def step(c, i):
+            out = fn(jax.random.fold_in(key, i), images)
+            return c + jnp.sum(out[0].astype(jnp.float32)) * 1e-12, None
+        c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(inner))
+        return c
+
+    float(run_many(images))  # compile + warmup
+    float(run_many(images))
+    best = float('inf')
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run_many(images))
+        best = min(best, time.perf_counter() - t0)
+    return b * inner / best, fn.backend
+
+
+def bench_config5(shape=(608, 1024), batch=8, inner=4, reps=3):
+    """res101 batched inference (the round-3 detect path: MXU
+    crop_and_resize + bit-packed NMS): jit(vmap(forward_test)) at
+    `batch`, `inner` chained batches, one readback."""
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    model = FasterRCNN(backbone='res101', num_classes=21)
+    params = model.init(jax.random.PRNGKey(0), image_shape=shape)
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.randn(batch, *shape, 3).astype(np.float32) * 30)
+    infos = jnp.tile(jnp.asarray([[600., 1000., 1.]], jnp.float32),
+                     (batch, 1))
+    fwd = jax.jit(jax.vmap(
+        lambda im, inf, p: model.forward_test(p, im, inf),
+        in_axes=(0, 0, None)))
 
     def chain(n):
         acc = jnp.float32(0)
-        for i in range(n):
-            out = fn(jax.random.fold_in(key, i), images + acc)
-            acc = jnp.sum(out[0, ::97, ::89]).astype(jnp.float32) * 1e-9
+        for _ in range(n):
+            out = fwd(imgs + acc, infos, params)
+            acc = jnp.sum(out['cls_prob'].astype(jnp.float32)) * 1e-9
         return float(acc)
 
-    chain(2)  # compile + warmup
+    chain(1)
     chain(2)
-    t0 = time.perf_counter()
+    best = float('inf')
     for _ in range(reps):
-        chain(n_chain)
-    dt = (time.perf_counter() - t0) / reps
-    return b * n_chain / dt, fn.backend
+        t0 = time.perf_counter()
+        chain(inner)
+        best = min(best, (time.perf_counter() - t0) / inner)
+    return batch / best
 
 
 def bench_config4(shape=(608, 1024), inner=8, reps=3):
@@ -178,6 +211,11 @@ def main():
         print(json.dumps({
             "metric": "vgg16 faster-rcnn inference 608x1024",
             "value": round(fps, 2), "unit": "images/sec",
+            "vs_baseline": None}))
+        fps8 = bench_config5()
+        print(json.dumps({
+            "metric": "res101 faster-rcnn batch-8 inference 608x1024",
+            "value": round(fps8, 2), "unit": "images/sec",
             "vs_baseline": None}))
 
 

@@ -91,3 +91,28 @@ def test_denoise_batch_vmap():
     batch = rng.rand(2, 64, 96, 3).astype(np.float32)
     out = jax.vmap(lambda im: W.denoise_wavelet(im, levels=2))(batch)
     assert out.shape == batch.shape
+
+
+def test_median_nonneg_matches_jnp_median():
+    import jax.numpy as jnp
+    """Bit-prefix rank selection == jnp.median bit-for-bit on non-negative
+    floats: odd/even lengths, heavy duplicates, zeros."""
+    rng = np.random.RandomState(11)
+    for n in (7, 8, 1001, 1000):
+        rows = [rng.rand(n).astype(np.float32),
+                np.repeat(rng.rand(n // 7 + 1).astype(np.float32),
+                          7)[:n],
+                np.zeros(n, np.float32)]
+        x = np.stack(rows)
+        got = np.asarray(W._median_nonneg(jnp.asarray(x)))
+        want = np.median(x, axis=-1).astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_denoise_wavelet_batched_matches_per_image():
+    import jax.numpy as jnp
+    rng = np.random.RandomState(5)
+    batch = rng.rand(3, 64, 96, 3).astype(np.float32)
+    a = np.asarray(W.denoise_wavelet_batched(jnp.asarray(batch)))
+    b = np.asarray(jax.vmap(W.denoise_wavelet)(jnp.asarray(batch)))
+    np.testing.assert_allclose(a, b, atol=2e-6)

@@ -56,38 +56,30 @@ def gaussian(key, x01: jnp.ndarray, var: float) -> jnp.ndarray:
     return jnp.clip(x01 + noise, 0.0, 1.0)
 
 
-_HIST_CHUNK = 32768
+def _u8_unique_count(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """Exact count of distinct u8 values WITHOUT a 256-bin histogram.
 
-
-def _u8_histogram(img_u8: jnp.ndarray) -> jnp.ndarray:
-    """256-bin histogram of a u8-valued image WITHOUT a scatter.
-
-    TPU scatter-adds serialize (~16 ms for a 600x1000x3 image — measured);
-    summing chunked one-hot compares instead runs at vector width
-    (~0.9 ms).  Length is padded with the out-of-range sentinel 256,
-    which matches no bin."""
-    flat = img_u8.astype(jnp.int32).reshape(-1)
-    pad = (-flat.shape[0]) % _HIST_CHUNK
-    if pad:
-        flat = jnp.concatenate(
-            [flat, jnp.full((pad,), 256, jnp.int32)])
-    chunks = flat.reshape(-1, _HIST_CHUNK)
-    iota = jnp.arange(256, dtype=jnp.int32)
-
-    def step(c, ch):
-        return c + jnp.sum(ch[:, None] == iota[None, :], axis=0,
-                           dtype=jnp.int32), None
-
-    hist, _ = jax.lax.scan(step, jnp.zeros((256,), jnp.int32), chunks)
-    return hist
+    Presence as a 256-bit set packed into 8 int32 words: each pixel
+    contributes bit (v & 31) of word (v >> 5) — 8 compare/selects per
+    pixel (vs 256 one-hot compares), OR-reduced over pixels, popcounted.
+    ~10x cheaper than the chunked one-hot histogram."""
+    v = img_u8.astype(jnp.int32).reshape(-1)
+    word = v >> 5
+    bit = jnp.left_shift(jnp.int32(1), v & 31)
+    words = jnp.where(word[:, None] == jnp.arange(8, dtype=jnp.int32)[None],
+                      bit[:, None], 0)
+    packed = jax.lax.reduce(words, jnp.int32(0),
+                            jax.lax.bitwise_or, dimensions=(0,))  # (8,)
+    return jnp.sum(jax.lax.population_count(packed))
 
 
 def poisson(key, x01: jnp.ndarray, img_u8: jnp.ndarray) -> jnp.ndarray:
     """skimage random_noise(mode='poisson'):
     vals = 2**ceil(log2(len(unique(image)))); out = Poisson(x*vals)/vals,
     clipped.  For uint8-origin images unique(x01) == unique(u8), computed
-    exactly on device via a 256-bin histogram (no data-dependent shapes)."""
-    n_unique = jnp.sum(_u8_histogram(img_u8) > 0)
+    exactly on device via a packed 256-bit presence set (no data-dependent
+    shapes)."""
+    n_unique = _u8_unique_count(img_u8)
     vals = 2.0 ** jnp.ceil(jnp.log2(n_unique.astype(jnp.float32)))
     lam = x01 * vals
     # fixed-round sampler: jax.random.poisson's rejection while_loop costs
@@ -171,7 +163,8 @@ def brownian(key, img_u8: jnp.ndarray, dt: float, hw=None) -> jnp.ndarray:
     on a static shape (the normal stream layout differs unless the pad is
     rows-only)."""
     n = img_u8.size
-    db = jax.random.normal(key, (n,), jnp.float32) * math.sqrt(dt)
+    db = jax.random.normal(key, (n,), jnp.float32) * jnp.sqrt(
+        jnp.asarray(dt, jnp.float32))
     if hw is not None:
         _, valid, _ = _valid_raster(img_u8.shape, hw)
         db = jnp.where(valid.reshape(-1), db, 0.0)

@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tpudenoise.denoise.stencils import (bilateral, gaussian_blur3, mean3,
                                          median3)
@@ -57,40 +58,45 @@ def _apply_wavelet_from_float(imgf: jnp.ndarray) -> jnp.ndarray:
 
 
 def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
-                 use_pallas: bool = False):
+                 use_pallas: bool = False, level=None):
     """Run the generator, returning the float-domain noisy image plus how
     to get the u8-domain version (some kinds are natively u8).
 
     hw: optional valid (h, w) extent when img_u8 is a bucket-padded
     canvas — threaded to the raster-length-dependent generators
     (brownian/periodic/quant/bloom); elementwise generators need no
-    adjustment (pad output is cropped by the caller)."""
+    adjustment (pad output is cropped by the caller).
+
+    level: optional TRACED level overriding spec.level — the mix path
+    collapses same-kind entries into one branch with the level as data
+    (see _group_specs), so the 38-entry tables compile ~14 branches."""
     x01 = G.to_unit(img_u8)
     k = spec.kind
+    lvl = spec.level if level is None else level
     if k == Kind.GAUSSIAN:
         if spec.is_random_level:
             kl, kn = jax.random.split(key)
             idx = jax.random.randint(kl, (), 0, len(GAUSSIAN_RANDOM_LEVELS))
             var = jnp.asarray(GAUSSIAN_RANDOM_LEVELS)[idx]
         else:
-            kn, var = key, spec.level
+            kn, var = key, lvl
         return G.gaussian(kn, x01, var), 'unit'
     if k == Kind.POISSON:
         return G.poisson(key, x01, img_u8), 'unit'
     if k == Kind.SAP:
-        return G.salt_and_pepper(key, x01, spec.level), 'unit'
+        return G.salt_and_pepper(key, x01, lvl), 'unit'
     if k == Kind.SPECKLE:
-        return G.speckle(key, x01, spec.level), 'unit'
+        return G.speckle(key, x01, lvl), 'unit'
     if k == Kind.UNIFORM:
-        return G.uniform_add(key, x01, spec.level), 'unit'
+        return G.uniform_add(key, x01, lvl), 'unit'
     if k == Kind.GAMMA:
-        return G.gamma_add(key, x01, spec.level), 'unit'
+        return G.gamma_add(key, x01, lvl), 'unit'
     if k == Kind.RAYLEIGH:
-        return G.rayleigh_add(key, x01, spec.level), 'unit'
+        return G.rayleigh_add(key, x01, lvl), 'unit'
     if k == Kind.BROWNIAN:
-        return G.brownian(key, img_u8, spec.level, hw=hw), 'u8'
+        return G.brownian(key, img_u8, lvl, hw=hw), 'u8'
     if k == Kind.PERIODIC:
-        return G.periodic(key, img_u8, spec.level, hw=hw), 'u8'
+        return G.periodic(key, img_u8, lvl, hw=hw), 'u8'
     if k == Kind.QUANT:
         return quantize_colors(key, img_u8, int(spec.level), hw=hw), 'u8'
     if k == Kind.BLOOM:
@@ -114,7 +120,8 @@ _WAVELET_ON_FLOAT = {Kind.GAUSSIAN, Kind.SAP, Kind.SPECKLE, Kind.UNIFORM,
 
 
 def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
-               hw=None, use_pallas: bool = False) -> jnp.ndarray:
+               hw=None, use_pallas: bool = False,
+               level=None) -> jnp.ndarray:
     """One (kind, level, denoise) combination on one image.
 
     Returns float32 in the domain the reference would feed downstream:
@@ -122,9 +129,10 @@ def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
     hw: optional valid extent for bucket-padded inputs (see _noisy_float);
     denoise stencils run on the full canvas — callers pad with edge
     replication so the valid-boundary stencil halo sees plausible pixels.
+    level: optional traced level override (mix branch collapsing).
     """
     noisy, dom = _noisy_float(spec, key, img_u8, hw=hw,
-                              use_pallas=use_pallas)
+                              use_pallas=use_pallas, level=level)
     if dom == 'unit':
         u8 = G.wrap_cast_u8(255.0 * noisy)
     else:
@@ -177,6 +185,49 @@ def _to_fast_keys(keys):
     return jax.vmap(one)(keys)
 
 
+# kinds whose generator accepts the level as TRACED data (pure jnp math
+# on the scalar) — same-kind mix entries collapse into one switch branch
+_TRACED_LEVEL_KINDS = {Kind.GAUSSIAN, Kind.SAP, Kind.SPECKLE, Kind.UNIFORM,
+                       Kind.GAMMA, Kind.RAYLEIGH, Kind.PERIODIC,
+                       Kind.BROWNIAN}
+
+
+def _group_specs(specs):
+    """Collapse the mix entry list to unique branch templates.
+
+    The reference's mix tables repeat kinds at different levels
+    (test.py:1612-1639: var_all has 38+ entries over 13 kinds); compiling
+    one switch branch per ENTRY makes a huge program (slow to compile,
+    slow to execute per scan step).  Where the generator takes its level
+    as traced data the level rides a per-entry lookup table instead.
+    Entries whose level changes SHAPES or sampling structure (quant's
+    cluster count, gaussian's random-level redraw) keep distinct
+    branches.
+
+    Returns (templates, traced_flags, entry_branch i32[E], entry_level
+    f32[E]).  The per-image entry draw (randint over E) is unchanged, so
+    the noise stream and distribution are identical to the per-entry
+    switch."""
+    templates, traced_flags, keys = [], [], {}
+    eb, el = [], []
+    for s in specs:
+        traced = s.kind in _TRACED_LEVEL_KINDS and not s.is_random_level
+        if traced:
+            k = (s.kind, s.denoise, s.unit_float_output, None)
+            lvl = float(s.level)
+        else:
+            k = (s.kind, s.denoise, s.unit_float_output, s.level)
+            lvl = 0.0
+        if k not in keys:
+            keys[k] = len(templates)
+            templates.append(s)
+            traced_flags.append(traced)
+        eb.append(keys[k])
+        el.append(lvl)
+    return (templates, traced_flags, np.asarray(eb, np.int32),
+            np.asarray(el, np.float32))
+
+
 def _apply_specs_batched(specs, keys, images, hw=None,
                          use_pallas: bool = False):
     """Per-image spec application over a batch.
@@ -187,36 +238,52 @@ def _apply_specs_batched(specs, keys, images, hw=None,
     on every image and selecting (a ~len(specs)x slowdown: the mix tables
     hold ~37 generators incl. K-Means quantization).  Images serialize,
     but one 600x1000 generator saturates the VPU on its own, and it all
-    stays ONE dispatch.  Bit-identical to the vmap formulation."""
-    if hw is None:
-        if len(specs) == 1:
+    stays ONE dispatch.  Same-kind entries share one branch with the
+    level as traced data (_group_specs) — identical stream, ~1/3 the
+    branches.  Bit-identical to the vmap formulation."""
+    if len(specs) == 1:
+        if hw is None:
             return jax.vmap(functools.partial(apply_spec, specs[0],
                                               use_pallas=use_pallas)
                             )(keys, images)
-        branches = [functools.partial(apply_spec, s,
-                                      use_pallas=use_pallas)
-                    for s in specs]
+        return jax.vmap(lambda k, im, e: apply_spec(
+            specs[0], k, im, hw=e, use_pallas=use_pallas))(keys, images,
+                                                           hw)
+
+    templates, traced_flags, entry_branch, entry_level = _group_specs(
+        specs)
+    eb = jnp.asarray(entry_branch)
+    el = jnp.asarray(entry_level)
+
+    if hw is None:
+        branches = [
+            (lambda s, t: lambda k, im, lv: apply_spec(
+                s, k, im, use_pallas=use_pallas,
+                level=lv if t else None))(s, t)
+            for s, t in zip(templates, traced_flags)]
 
         def body(_, ki):
             k, img = ki
             kc, ka = jax.random.split(k)
             idx = jax.random.randint(kc, (), 0, len(specs))
-            return None, jax.lax.switch(idx, branches, ka, img)
+            return None, jax.lax.switch(eb[idx], branches, ka, img,
+                                        el[idx])
 
         _, out = jax.lax.scan(body, None, (keys, images))
         return out
-    if len(specs) == 1:
-        return jax.vmap(lambda k, im, e: apply_spec(
-            specs[0], k, im, hw=e, use_pallas=use_pallas))(keys, images,
-                                                           hw)
-    branches = [(lambda s: lambda k, im, e: apply_spec(
-        s, k, im, hw=e, use_pallas=use_pallas))(s) for s in specs]
+
+    branches = [
+        (lambda s, t: lambda k, im, e, lv: apply_spec(
+            s, k, im, hw=e, use_pallas=use_pallas,
+            level=lv if t else None))(s, t)
+        for s, t in zip(templates, traced_flags)]
 
     def body(_, ki):
         k, img, e = ki
         kc, ka = jax.random.split(k)
         idx = jax.random.randint(kc, (), 0, len(specs))
-        return None, jax.lax.switch(idx, branches, ka, img, e)
+        return None, jax.lax.switch(eb[idx], branches, ka, img, e,
+                                    el[idx])
 
     _, out = jax.lax.scan(body, None, (keys, images, hw))
     return out
@@ -416,7 +483,13 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
 
     def _post_batched(out):
         # the standalone post-pass is the SAME filter for every image —
-        # vmap it over the batch (no switch, so no all-branches blowup)
+        # vmap it over the batch (no switch, so no all-branches blowup);
+        # the wavelet goes through its planar-batched entry (one DWT
+        # matmul stack for the whole batch, ~1.7x the vmapped path)
+        if plan.post_denoise == Denoise.WAVELET:
+            from tpudenoise.denoise.wavelet import denoise_wavelet_batched
+            src = out if unit_float else G.to_unit(out)
+            return G.wrap_cast_u8(255.0 * denoise_wavelet_batched(src))
         return jax.vmap(lambda im: apply_post(plan.post_denoise, im,
                                               unit_float))(out)
 
