@@ -160,3 +160,32 @@ def test_mix_post_denoise_applies(batch):
     b = np.asarray(fn_post(KEY, batch))
     want = np.asarray(jax.vmap(lambda im: bilateral(im))(a))
     np.testing.assert_array_equal(b, want)
+
+
+def test_group_specs_preserves_entry_tables():
+    """Branch collapsing keeps one entry slot per mix-table entry (the
+    per-image randint stream is over ENTRIES) and maps each entry to a
+    branch whose template matches its kind, with the level recoverable
+    from the lookup table for traced kinds and from the template
+    otherwise."""
+    from tpudenoise.noise.pipeline import _TRACED_LEVEL_KINDS, _group_specs
+    from tpudenoise.noise.spec import Kind, parse
+
+    for mode in ('TRAIN', 'TEST'):
+        specs = parse('noise_mix_var_all', mode=mode).specs
+        templates, traced, eb, el = _group_specs(specs)
+        assert len(eb) == len(specs) == len(el)
+        assert len(templates) < len(specs)  # actually collapsed
+        for i, s in enumerate(specs):
+            t = templates[eb[i]]
+            assert t.kind == s.kind
+            if traced[eb[i]]:
+                assert s.kind in _TRACED_LEVEL_KINDS
+                assert el[i] == np.float32(s.level)
+            else:
+                assert t.level == s.level
+        # quant keeps one branch per cluster count (static shapes)
+        quant_branches = {eb[i] for i, s in enumerate(specs)
+                          if s.kind == Kind.QUANT}
+        quant_levels = {s.level for s in specs if s.kind == Kind.QUANT}
+        assert len(quant_branches) == len(quant_levels)

@@ -116,3 +116,29 @@ def test_denoise_wavelet_batched_matches_per_image():
     a = np.asarray(W.denoise_wavelet_batched(jnp.asarray(batch)))
     b = np.asarray(jax.vmap(W.denoise_wavelet)(jnp.asarray(batch)))
     np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_band_matrices_match_slice_formulation():
+    """The MXU band-matrix analysis/synthesis must reproduce the
+    shifted-slice formulation exactly (both formulations kept; the slice
+    path is the executable spec of the phase/extension conventions)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    for h, w in [(57, 83), (64, 96)]:
+        x = jnp.asarray(rng.rand(2, h, w).astype(np.float32))
+        lo_r, hi_r = W._analysis_1d(x, -1)
+        m = lo_r.shape[-1]
+        am = jnp.asarray(W._analysis_matrix(w))
+        both = jnp.einsum('wn,...w->...n', am, x,
+                          precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(both[..., :m]),
+                                   np.asarray(lo_r), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(both[..., m:]),
+                                   np.asarray(hi_r), atol=2e-6)
+        y_r = W._synthesis_1d(lo_r, hi_r, w, axis=-1)
+        sm = jnp.asarray(W._synthesis_matrix(m, w))
+        y_m = jnp.einsum('mn,...m->...n', sm,
+                         jnp.concatenate([lo_r, hi_r], -1),
+                         precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_r),
+                                   atol=2e-6)
