@@ -133,3 +133,42 @@ def test_augment_random_switches(img):
             for i in range(6)]
     diffs = {round(float(np.abs(o - f).mean()), 2) for o in outs}
     assert len(diffs) > 2  # different augmentations picked
+
+
+def test_color_space_api(img):
+    """The reference's color helpers (Automold.py:12-147): plane
+    extractors, channel-order flips, list handling, and rgb(x, 'hls')
+    (the add_autumn path)."""
+    import jax.numpy as jnp
+    from tpudenoise.noise import automold as am
+    x = jnp.asarray(img)  # u8-domain float, RGB by convention of src args
+    h = np.asarray(am.hls(x))
+    np.testing.assert_array_equal(np.asarray(am.hue(x)), h[..., 0])
+    np.testing.assert_array_equal(np.asarray(am.lightness(x)), h[..., 1])
+    np.testing.assert_array_equal(np.asarray(am.saturation(x)), h[..., 2])
+    v = np.asarray(am.hsv(x))
+    np.testing.assert_array_equal(np.asarray(am.value(x)), v[..., 2])
+    # channel-order conversions + plane extractors (src='BGR' default)
+    np.testing.assert_array_equal(np.asarray(am.bgr(x, 'RGB')),
+                                  np.asarray(x)[..., ::-1])
+    np.testing.assert_array_equal(np.asarray(am.rgb(am.bgr(x, 'RGB'))),
+                                  np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(am.red(x, 'RGB')),
+                                  np.asarray(x)[..., 0])
+    np.testing.assert_array_equal(np.asarray(am.green(x, 'RGB')),
+                                  np.asarray(x)[..., 1])
+    np.testing.assert_array_equal(np.asarray(am.blue(x, 'RGB')),
+                                  np.asarray(x)[..., 2])
+    # HLS -> RGB dispatch used by add_autumn (rgb(image_hls, 'hls')):
+    # matches cv2's HLS2RGB on the quantized planes; the roundtrip to the
+    # original is bounded by the u8 H/L/S quantization itself
+    import cv2
+    back = np.asarray(am.rgb(jnp.asarray(h), 'hls'))
+    want = cv2.cvtColor(h.astype(np.uint8),
+                        cv2.COLOR_HLS2RGB).astype(np.float32)
+    assert np.abs(back - want).max() <= 1.0
+    assert np.abs(back - np.asarray(x)).max() <= 5.0
+    # list inputs map elementwise (the reference's is_list branch)
+    outs = am.hue([x, x], src='RGB')
+    assert isinstance(outs, list) and len(outs) == 2
+    np.testing.assert_array_equal(np.asarray(outs[0]), h[..., 0])

@@ -49,3 +49,16 @@ def test_ycbcr_matches_cv2_ycrcb(img):
     # skimage: Y = 16 + 219 * y_full where y_full = y_cv/255
     approx = 16.0 + 219.0 * (y_cv / 255.0)
     assert np.abs(y_skimage - approx).max() <= 1.5
+
+
+def test_hsv_matches_cv2(img):
+    from tpudenoise.ops.color import hsv_u8_to_rgb_u8, rgb_u8_to_hsv_u8
+    rgb = img[..., ::-1]
+    want = cv2.cvtColor(rgb, cv2.COLOR_RGB2HSV).astype(np.float32)
+    got = np.asarray(rgb_u8_to_hsv_u8(rgb.astype(np.float32)))
+    assert np.abs(got - want).max() <= 1.0
+    back_want = cv2.cvtColor(want.astype(np.uint8),
+                             cv2.COLOR_HSV2RGB).astype(np.float32)
+    back = np.asarray(hsv_u8_to_rgb_u8(want))
+    assert np.abs(back - back_want).max() <= 2.0
+    assert (np.abs(back - back_want) > 1.0).mean() < 0.02

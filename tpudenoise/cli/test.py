@@ -35,6 +35,9 @@ def parse_args(argv=None):
     p.add_argument('--profile', default=None, metavar='DIR',
                    help='capture a jax.profiler trace of the eval into '
                         'DIR (view in TensorBoard/Perfetto)')
+    p.add_argument('--host-prep', action='store_true',
+                   help='use the host cv2.resize prep instead of the '
+                        'on-device bilinear prep (batched eval only)')
     p.add_argument('--eval-batch', type=int, default=1,
                    help='>1 evaluates in vmapped batches (same results, '
                         'full chip occupancy; the reference is strictly '
@@ -104,7 +107,8 @@ def main(argv=None):
                              args.noise, eval_batch=args.eval_batch,
                              max_per_image=args.max_per_image, config=cfg,
                              strict_ref=args.strict_ref,
-                             compute_id=args.compute_id)
+                             compute_id=args.compute_id,
+                             device_prep=not args.host_prep)
         else:
             test_net(model, params, imdb_obj, weights_name, args.noise,
                      max_per_image=args.max_per_image, config=cfg,

@@ -279,7 +279,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                      noise: str, eval_batch: int = 8,
                      max_per_image: int = 100, thresh: float = 0.0,
                      config=None, bucket=None, strict_ref: bool = False,
-                     compute_id: bool = False, mesh='auto'):
+                     compute_id: bool = False, mesh='auto',
+                     device_prep: bool = True):
     """Batched evaluation: images grouped by original size (noise runs on
     the original-resolution batch) and by padded bucket; one vmapped
     forward + postprocess per chunk.  ~4x fewer dispatches and full MXU
@@ -291,8 +292,19 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
     replicated, noise inside shard_map) — multi-chip eval with bit-exact
     per-image fold_in noise keys.  Pass mesh=None to force single-device.
 
+    device_prep=True (default) runs the mean-subtract + cv2-convention
+    bilinear rescale + bucket pad ON DEVICE (ops/resize.py: separable
+    matmuls), chained device-to-device into the detector program — the
+    noisy batch never returns to the host (the host path round-tripped it
+    per chunk for a cv2.resize).  Geometry (scale, output dims) is still
+    computed on the host with prep_im_for_blob's double-precision rule,
+    so im_info is bit-identical; pixel values deviate from cv2 by <= ~0.05
+    u8-levels at scale != 1 (f32 coordinates — see ops/resize.py), exact
+    at scale == 1.  device_prep=False keeps the host cv2 hop.
+
     Results are identical to test_net up to the PRNG stream (noise keys
-    fold per image index, preserved here)."""
+    fold per image index, preserved here) and, with device_prep, the
+    resize float tail above."""
     import cv2
     from collections import defaultdict
     from tpudenoise.utils.blob import derive_bucket, prep_im_for_blob
@@ -325,25 +337,65 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
         data_sh = NamedSharding(mesh, P('data'))
         print(f'evaluating on a {mesh.devices.size}-device mesh')
 
-    @jax.jit
-    def noise_chunk(k, idx, raw, hw=None):
-        # ONE device program per chunk: per-image fold_in inside the jit,
-        # bit-identical to the sequential noise_fn(fold_in(k, i), im[None]).
-        # hw engages the bucketed-noise path (raw padded to a static
-        # bucket, valid extents threaded to the generators).
-        keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(idx)
-        if mesh is None:
-            return (noise_fn.keyed(keys, raw) if hw is None
-                    else noise_fn.masked(keys, raw, hw))
-        from jax.experimental.shard_map import shard_map
-        from jax.sharding import PartitionSpec as P
-        if hw is None:
-            return shard_map(noise_fn.keyed, mesh=mesh,
-                             in_specs=(P('data'), P('data')),
-                             out_specs=P('data'))(keys, raw)
-        return shard_map(noise_fn.masked, mesh=mesh,
-                         in_specs=(P('data'), P('data'), P('data')),
-                         out_specs=P('data'))(keys, raw, hw)
+    pixel_means = np.asarray(C.PIXEL_MEANS, np.float32)
+    _chunk_progs = {}
+
+    def _noise_chunk_prog(img_bucket=None):
+        """ONE device program per chunk: per-image fold_in + noise, and —
+        when img_bucket is given (device_prep) — the mean-subtract +
+        bilinear rescale + bucket pad chained on device, so the noisy
+        batch feeds the detector without a host hop.  Memoized per
+        img_bucket (at most two orientations)."""
+        if img_bucket in _chunk_progs:
+            return _chunk_progs[img_bucket]
+
+        def _prep(noisy, geom):
+            from tpudenoise.ops.resize import prep_on_device
+            return jax.vmap(lambda im, g: prep_on_device(
+                im, g[0], g[1], g[2], g[3], g[4], pixel_means,
+                img_bucket))(noisy, geom)
+
+        @jax.jit
+        def run(k, idx, raw, hw=None, geom=None):
+            # per-image fold_in inside the jit, bit-identical to the
+            # sequential noise_fn(fold_in(k, i), im[None]).  hw engages
+            # the bucketed-noise path (raw padded to a static bucket,
+            # valid extents threaded to the generators).
+            keys = jax.vmap(lambda i: jax.random.fold_in(k, i))(idx)
+
+            def body(keys, raw, hw, geom):
+                noisy = (noise_fn.keyed(keys, raw) if hw is None
+                         else noise_fn.masked(keys, raw, hw))
+                return noisy if geom is None else _prep(noisy, geom)
+
+            if mesh is None:
+                return body(keys, raw, hw, geom)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            args = [keys, raw] + ([hw] if hw is not None else []) \
+                + ([geom] if geom is not None else [])
+
+            def shard_body(*a):
+                it = iter(a[2:])
+                return body(a[0], a[1],
+                            next(it) if hw is not None else None,
+                            next(it) if geom is not None else None)
+
+            return shard_map(shard_body, mesh=mesh,
+                             in_specs=tuple(P('data') for _ in args),
+                             out_specs=P('data'))(*args)
+
+        _chunk_progs[img_bucket] = run
+        return run
+
+    def _geom_for(h0, w0):
+        """prep_im_for_blob's double-precision geometry rule (scale, oh,
+        ow) — computed on host so im_info is bit-identical to the cv2
+        path (np.round == cvRound: both half-to-even)."""
+        s = float(t_size) / float(min(h0, w0))
+        if np.round(s * max(h0, w0)) > m_size:
+            s = float(m_size) / float(max(h0, w0))
+        return s, int(np.round(h0 * s)), int(np.round(w0 * s))
 
     fwd, post = _batched_eval_fns(model, num_classes, C.TEST.NMS, thresh,
                                   max_per_image)
@@ -366,8 +418,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
         groups[noise_buckets['p' if h > w else 'l'] if noise_buckets
                else (h, w)].append(i)
 
-    done = 0
-    for (oh, ow), idxs in groups.items():
+    chunks = []
+    for (nh, nw), idxs in groups.items():
         for c0 in range(0, len(idxs), eval_batch):
             chunk = idxs[c0:c0 + eval_batch]
             n_real = len(chunk)
@@ -375,25 +427,61 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             # chunk compiles to the same batch shape; padded results are
             # dropped below
             chunk = chunk + [chunk[-1]] * (eval_batch - n_real)
-            timers['im_detect'].tic()
-            imgs_raw = [cv2.imread(imdb_obj.image_path_at(i))
-                        .astype(np.float32) for i in chunk]
-            if noise_buckets:
-                imgs_raw = [_pad_raw_to_bucket(im, (oh, ow))
-                            for im in imgs_raw]
-            raw = np.stack(imgs_raw)
-            raw_dev = jnp.asarray(raw)
-            idx_dev = jnp.asarray(chunk, jnp.int32)
-            hw_dev = None
-            if noise_buckets:
-                hw_dev = jnp.asarray([raw_shapes[i] for i in chunk],
-                                     jnp.int32)
+            chunks.append((nh, nw, chunk, n_real))
+
+    def _load_chunk(nh, nw, chunk):
+        imgs_raw = [cv2.imread(imdb_obj.image_path_at(i))
+                    .astype(np.float32) for i in chunk]
+        if noise_buckets:
+            imgs_raw = [_pad_raw_to_bucket(im, (nh, nw))
+                        for im in imgs_raw]
+        return np.stack(imgs_raw)
+
+    # decode JPEGs for chunk k+1 while the device runs chunk k (the
+    # dispatch below is async; only the result readback blocks)
+    from concurrent.futures import ThreadPoolExecutor
+    ex = ThreadPoolExecutor(max_workers=1)
+    futs = ([ex.submit(_load_chunk, *chunks[0][:3])] if chunks else [])
+
+    done = 0
+    for ci, (nh, nw, chunk, n_real) in enumerate(chunks):
+        timers['im_detect'].tic()
+        raw = futs[ci].result()
+        if ci + 1 < len(chunks):
+            futs.append(ex.submit(_load_chunk, *chunks[ci + 1][:3]))
+        raw_dev = jnp.asarray(raw)
+        idx_dev = jnp.asarray(chunk, jnp.int32)
+        hw_dev = None
+        if noise_buckets:
+            hw_dev = jnp.asarray([raw_shapes[i] for i in chunk],
+                                 jnp.int32)
+        if data_sh is not None:
+            raw_dev = jax.device_put(raw_dev, data_sh)
+            idx_dev = jax.device_put(idx_dev, data_sh)
+            if hw_dev is not None:
+                hw_dev = jax.device_put(hw_dev, data_sh)
+        if device_prep:
+            # noise + prep + pad in one program; the batch never
+            # returns to the host between noise and the detector
+            h0, w0 = raw_shapes[chunk[0]]
+            img_bucket = bucket or derive_bucket(t_size, m_size,
+                                                 portrait=h0 > w0)
+            geom, info_rows = [], []
+            for i in chunk:
+                hi, wi = raw_shapes[i]
+                s, ph, pw = _geom_for(hi, wi)
+                geom.append((hi, wi, ph, pw, s))
+                info_rows.append((ph, pw, s))
+            geom_dev = jnp.asarray(np.asarray(geom, np.float32))
+            infos = jnp.asarray(np.asarray(info_rows, np.float32))
             if data_sh is not None:
-                raw_dev = jax.device_put(raw_dev, data_sh)
-                idx_dev = jax.device_put(idx_dev, data_sh)
-                if hw_dev is not None:
-                    hw_dev = jax.device_put(hw_dev, data_sh)
-            noisy = np.asarray(noise_chunk(key, idx_dev, raw_dev, hw_dev))
+                geom_dev = jax.device_put(geom_dev, data_sh)
+                infos = jax.device_put(infos, data_sh)
+            imgs = _noise_chunk_prog(img_bucket)(
+                key, idx_dev, raw_dev, hw_dev, geom_dev)
+        else:
+            noisy = np.asarray(_noise_chunk_prog(None)(
+                key, idx_dev, raw_dev, hw_dev))
             imgs, infos = [], []
             img_bucket = None
             for j in range(len(chunk)):
@@ -402,11 +490,10 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                     hj, wj = raw_shapes[chunk[j]]
                     nj = nj[:hj, :wj]
                 imf, scale = prep_im_for_blob(
-                    nj, np.asarray(C.PIXEL_MEANS, np.float32),
-                    t_size, m_size)
+                    nj, pixel_means, t_size, m_size)
                 h, w = imf.shape[:2]
-                img_bucket = bucket or derive_bucket(t_size, m_size,
-                                                     portrait=h > w)
+                img_bucket = bucket or derive_bucket(
+                    t_size, m_size, portrait=h > w)
                 padded, (ph, pw) = pad_to_bucket(imf, img_bucket)
                 imgs.append(padded)
                 infos.append((ph, pw, scale))
@@ -415,32 +502,33 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             if data_sh is not None:
                 imgs = jax.device_put(imgs, data_sh)
                 infos = jax.device_put(infos, data_sh)
-            out = fwd(params, imgs, infos)
-            boxes_c, scores_c, mask_c = post(
-                out['rois'], out['roi_mask'], out['cls_prob'],
-                out['bbox_pred'], infos)
-            timers['im_detect'].toc()
+        out = fwd(params, imgs, infos)
+        boxes_c, scores_c, mask_c = post(
+            out['rois'], out['roi_mask'], out['cls_prob'],
+            out['bbox_pred'], infos)
+        timers['im_detect'].toc()
 
-            timers['misc'].tic()
-            bx, sc, mk = (np.asarray(boxes_c), np.asarray(scores_c),
-                          np.asarray(mask_c))
-            if feats is not None:
-                hw = infos[:, :2].astype(jnp.int32)
-                for p, v in probe_fn(params, imgs, hw).items():
-                    feats.setdefault(p, []).extend(np.asarray(v)[:n_real])
-            for j, i in enumerate(chunk[:n_real]):
-                mkj = limit_per_image(bx[j], sc[j], mk[j], max_per_image)
-                for cls in range(1, num_classes):
-                    sel = mkj[cls - 1]
-                    all_boxes[cls][i] = np.hstack(
-                        [bx[j][cls - 1][sel],
-                         sc[j][cls - 1][sel][:, None]]).astype(np.float32)
-            timers['misc'].toc()
-            done += n_real
-            print(f'im_detect: {done:d}/{num_images:d} '
-                  f'{timers["im_detect"].average_time:.3f}s/chunk '
-                  f'{timers["misc"].average_time:.3f}s')
+        timers['misc'].tic()
+        bx, sc, mk = (np.asarray(boxes_c), np.asarray(scores_c),
+                      np.asarray(mask_c))
+        if feats is not None:
+            hw = infos[:, :2].astype(jnp.int32)
+            for p, v in probe_fn(params, imgs, hw).items():
+                feats.setdefault(p, []).extend(np.asarray(v)[:n_real])
+        for j, i in enumerate(chunk[:n_real]):
+            mkj = limit_per_image(bx[j], sc[j], mk[j], max_per_image)
+            for cls in range(1, num_classes):
+                sel = mkj[cls - 1]
+                all_boxes[cls][i] = np.hstack(
+                    [bx[j][cls - 1][sel],
+                     sc[j][cls - 1][sel][:, None]]).astype(np.float32)
+        timers['misc'].toc()
+        done += n_real
+        print(f'im_detect: {done:d}/{num_images:d} '
+              f'{timers["im_detect"].average_time:.3f}s/chunk '
+              f'{timers["misc"].average_time:.3f}s')
 
+    ex.shutdown(wait=False)
     det_file = os.path.join(output_dir, 'detections.pkl')
     with open(det_file, 'wb') as f:
         pickle.dump(all_boxes, f, pickle.HIGHEST_PROTOCOL)

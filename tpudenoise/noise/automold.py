@@ -26,8 +26,101 @@ import math
 import jax
 import jax.numpy as jnp
 
-from tpudenoise.ops.color import hls_u8_to_rgb_u8, rgb_u8_to_hls_u8
+from tpudenoise.ops.color import (hls_u8_to_rgb_u8, hsv_u8_to_rgb_u8,
+                                  rgb_u8_to_hls_u8, rgb_u8_to_hsv_u8)
 from tpudenoise.noise.generators import saturate_u8
+
+
+# ------------------------------------------------- color-space helpers --
+# The reference exposes thin cv2.cvtColor wrappers that accept one image
+# or a list (ref tools/Automold.py:12-147).  Mirrored here over the
+# device conversions in ops/color.py; `src` selects the input channel
+# order ('RGB' or 'BGR') like the reference's COLOR_{SRC}2... dispatch.
+
+def _map_images(image, fn):
+    if isinstance(image, (list, tuple)):
+        return [fn(img) for img in image]
+    return fn(image)
+
+
+def _as_rgb(img, src):
+    src = src.upper()
+    if src not in ('RGB', 'BGR'):
+        raise ValueError(f'unsupported source space {src}')
+    return img[..., ::-1] if src == 'BGR' else img
+
+
+def hls(image, src='RGB'):
+    """cv2 {src}2HLS (ref Automold.py:12-21)."""
+    return _map_images(image, lambda im: rgb_u8_to_hls_u8(_as_rgb(im, src)))
+
+
+def hue(image, src='RGB'):
+    """H plane of HLS (ref Automold.py:23-32)."""
+    return _map_images(image, lambda im: rgb_u8_to_hls_u8(
+        _as_rgb(im, src))[..., 0])
+
+
+def lightness(image, src='RGB'):
+    """L plane of HLS (ref Automold.py:34-43)."""
+    return _map_images(image, lambda im: rgb_u8_to_hls_u8(
+        _as_rgb(im, src))[..., 1])
+
+
+def saturation(image, src='RGB'):
+    """S plane of HLS (ref Automold.py:45-56)."""
+    return _map_images(image, lambda im: rgb_u8_to_hls_u8(
+        _as_rgb(im, src))[..., 2])
+
+
+def hsv(image, src='RGB'):
+    """cv2 {src}2HSV (ref Automold.py:58-67)."""
+    return _map_images(image, lambda im: rgb_u8_to_hsv_u8(_as_rgb(im, src)))
+
+
+def value(image, src='RGB'):
+    """V plane of HSV (ref Automold.py:69-80)."""
+    return _map_images(image, lambda im: rgb_u8_to_hsv_u8(
+        _as_rgb(im, src))[..., 2])
+
+
+def bgr(image, src='RGB'):
+    """Channel-order conversion to BGR; src may also be 'HLS'/'HSV'
+    (ref Automold.py:82-92 dispatches any COLOR_{SRC}2BGR)."""
+    s = src.upper()
+    if s == 'HLS':
+        return _map_images(image,
+                           lambda im: hls_u8_to_rgb_u8(im)[..., ::-1])
+    if s == 'HSV':
+        return _map_images(image,
+                           lambda im: hsv_u8_to_rgb_u8(im)[..., ::-1])
+    return _map_images(image, lambda im: _as_rgb(im, s)[..., ::-1])
+
+
+def rgb(image, src='BGR'):
+    """Channel-order conversion to RGB; src may also be 'HLS'/'HSV'
+    (ref Automold.py:94-104 — add_autumn calls rgb(image_hls, 'hls'))."""
+    s = src.upper()
+    if s == 'HLS':
+        return _map_images(image, hls_u8_to_rgb_u8)
+    if s == 'HSV':
+        return _map_images(image, hsv_u8_to_rgb_u8)
+    return _map_images(image, lambda im: _as_rgb(im, s))
+
+
+def red(image, src='BGR'):
+    """R plane (ref Automold.py:105-115)."""
+    return _map_images(image, lambda im: _as_rgb(im, src)[..., 0])
+
+
+def green(image, src='BGR'):
+    """G plane (ref Automold.py:117-127)."""
+    return _map_images(image, lambda im: _as_rgb(im, src)[..., 1])
+
+
+def blue(image, src='BGR'):
+    """B plane (ref Automold.py:129-139)."""
+    return _map_images(image, lambda im: _as_rgb(im, src)[..., 2])
 
 
 # --------------------------------------------------------- lightness ----

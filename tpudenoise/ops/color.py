@@ -110,6 +110,47 @@ def rgb_u8_to_hls_u8(img_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(out), 0.0, 255.0)
 
 
+def rgb_u8_to_hsv_u8(img_u8: jnp.ndarray) -> jnp.ndarray:
+    """cv2.cvtColor(x, COLOR_RGB2HSV) for 8-bit: H in [0, 180), S/V in
+    [0, 255] (the Automold `hsv`/`value` helpers, ref tools/Automold.py:
+    58-80)."""
+    x = img_u8 * (1.0 / 255.0)
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    vmax = jnp.maximum(jnp.maximum(r, g), b)
+    vmin = jnp.minimum(jnp.minimum(r, g), b)
+    c = vmax - vmin
+    s = jnp.where(vmax == 0, 0.0, c / jnp.maximum(vmax, 1e-12))
+    safe_c = jnp.maximum(c, 1e-12)
+    h = jnp.where(vmax == r, (g - b) / safe_c,
+                  jnp.where(vmax == g, 2.0 + (b - r) / safe_c,
+                            4.0 + (r - g) / safe_c))
+    h = jnp.where(c == 0, 0.0, h) * 60.0
+    h = jnp.where(h < 0, h + 360.0, h)
+    out = jnp.stack([h * 0.5, s * 255.0, vmax * 255.0], axis=-1)
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
+def hsv_u8_to_rgb_u8(hsv: jnp.ndarray) -> jnp.ndarray:
+    """cv2.cvtColor(x, COLOR_HSV2RGB) for 8-bit."""
+    h = hsv[..., 0] * 2.0            # degrees
+    s = hsv[..., 1] * (1.0 / 255.0)
+    v = hsv[..., 2] * (1.0 / 255.0)
+    c = v * s
+    hp = h / 60.0
+    xcomp = c * (1.0 - jnp.abs(jnp.mod(hp, 2.0) - 1.0))
+    z = jnp.zeros_like(c)
+    idx = jnp.clip(jnp.floor(hp), 0, 5).astype(jnp.int32)
+    r = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4],
+                   [c, xcomp, z, z, xcomp], c)
+    g = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4],
+                   [xcomp, c, c, xcomp, z], z)
+    b = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4],
+                   [z, z, xcomp, c, c], xcomp)
+    m = v - c
+    out = jnp.stack([r + m, g + m, b + m], axis=-1) * 255.0
+    return jnp.clip(jnp.round(out), 0.0, 255.0)
+
+
 def hls_u8_to_rgb_u8(hls: jnp.ndarray) -> jnp.ndarray:
     """cv2.cvtColor(x, COLOR_HLS2RGB) for 8-bit."""
     h = hls[..., 0] * 2.0            # degrees
