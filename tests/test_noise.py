@@ -267,3 +267,70 @@ def test_gamma_fixed_matches_scipy():
         assert (out > 0).all()
         ks = st.kstest(out, st.gamma(a).cdf).statistic
         assert ks < 0.01, (a, ks)
+
+
+def test_poisson_fixed_fast_bits_chi2():
+    """The counter-hash bitstream variant passes the same chi-square GoF
+    as the threefry path (the stream differs, the distribution must
+    not)."""
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.noise.fast_samplers import poisson_fixed
+    key = jax.random.PRNGKey(7)
+    n = 200_000
+    for lam in (0.5, 9.5, 10.5, 256.0):
+        out = np.asarray(poisson_fixed(key, jnp.full((n,), lam),
+                                       fast_bits=True)).astype(int)
+        assert (out >= 0).all()
+        kmax = int(st.poisson(lam).ppf(1 - 1e-6)) + 2
+        obs = np.bincount(out, minlength=kmax + 1)[:kmax + 1].astype(float)
+        exp = st.poisson(lam).pmf(np.arange(kmax + 1)) * n
+        m = exp > 20
+        chi2 = ((obs[m] - exp[m]) ** 2 / exp[m]).sum()
+        dof = int(m.sum()) - 1
+        p = 1 - st.chi2(dof).cdf(chi2)
+        assert p > 1e-4, (lam, chi2, dof, p)
+    # distinct keys give distinct streams; same key reproduces
+    a = np.asarray(poisson_fixed(jax.random.PRNGKey(1),
+                                 jnp.full((1000,), 64.0), fast_bits=True))
+    b = np.asarray(poisson_fixed(jax.random.PRNGKey(2),
+                                 jnp.full((1000,), 64.0), fast_bits=True))
+    c = np.asarray(poisson_fixed(jax.random.PRNGKey(1),
+                                 jnp.full((1000,), 64.0), fast_bits=True))
+    assert (a != b).any()
+    np.testing.assert_array_equal(a, c)
+
+
+def test_gamma_fixed_fast_bits_ks():
+    import jax
+    from tpudenoise.noise.fast_samplers import gamma_fixed
+    key = jax.random.PRNGKey(3)
+    for a in (1.99, 4.0):
+        out = np.asarray(gamma_fixed(key, a, (200_000,), fast_bits=True))
+        assert (out > 0).all()
+        ks = st.kstest(out, st.gamma(a).cdf).statistic
+        assert ks < 0.01, (a, ks)
+
+
+def test_pipeline_fast_rng_moments():
+    """make_pipeline(fast_rng=True) reroutes poisson/gamma through the
+    hash bitstream: outputs keep the right distribution (moments) and
+    differ streamwise from the threefry path."""
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.noise.pipeline import make_pipeline
+    rng = np.random.RandomState(0)
+    img = rng.randint(30, 220, (2, 64, 80, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(5)
+    for noise in ('poisson', 'gamma_var0.1'):
+        slow = make_pipeline(noise, mode='TRAIN', use_pallas=False)
+        fast = make_pipeline(noise, mode='TRAIN', use_pallas=False,
+                             fast_rng=True)
+        a = np.asarray(slow(key, jnp.asarray(img)))
+        b = np.asarray(fast(key, jnp.asarray(img)))
+        assert (a != b).any()  # different stream
+        # same first two moments of the added noise
+        np.testing.assert_allclose(b.mean(), a.mean(),
+                                   rtol=0.02, atol=0.5)
+        np.testing.assert_allclose((b - img).std(), (a - img).std(),
+                                   rtol=0.05, atol=0.5)

@@ -35,6 +35,56 @@ _N_INV = 42       # inverse-CDF terms: P(Poisson(10) >= 42) ~ 4e-14
 _PTRS_ROUNDS = 4  # PTRS acceptance >= ~0.93 for lam >= 10
 
 
+# ------------------------------------------------ counter-hash bitstream --
+# The samplers above draw ~11 (poisson) / ~12 (gamma) threefry fields per
+# image; threefry is ~20+ ALU ops per word and dominates the whole branch
+# (profiled: ~45% of poisson_fixed is RNG).  `fast_bits=True` swaps the
+# draws for a splitmix-style counter hash (~9 ops/word — the same
+# construction, constants and accepted stream-trade as the fused Pallas
+# kernels' _hash2d in noise/pallas_kernels.py), seeded deterministically
+# from the incoming key, so runs remain reproducible.  Distributional
+# quality is pinned by the same chi-square/KS suites as the threefry path
+# (tests/test_noise.py).
+
+def _seed_from_key(key) -> jnp.ndarray:
+    """uint32 scalar seed derived from a threefry key's data."""
+    d = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
+    return d[-1] ^ (d[0] * jnp.uint32(2654435761))
+
+
+def _hash_words(shape, salt: int, seed) -> jnp.ndarray:
+    """uint32 avalanche hash of (flat counter, salt, seed) over `shape`."""
+    n = 1
+    for s in shape:
+        n *= s
+    idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
+    h = (idx * jnp.uint32(0x9E3779B9)
+         ^ jnp.uint32(salt) * jnp.uint32(0x85EBCA6B)
+         ^ jnp.asarray(seed, jnp.uint32) * jnp.uint32(0xC2B2AE35))
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ (h >> 15)
+    h = h * jnp.uint32(0x846CA68B)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _u01(shape, salt: int, seed) -> jnp.ndarray:
+    """f32 uniform in (0, 1): 24 hash bits (top bits; the u32->f32 cast
+    routes through int32 — Mosaic/XLA-TPU has no unsigned->float path),
+    offset by half an ulp so 0 is excluded (log-safe)."""
+    bits = (_hash_words(shape, salt, seed) >> 8).astype(jnp.int32)
+    return (bits.astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -24)
+
+
+def _normal(shape, salt: int, seed) -> jnp.ndarray:
+    """Standard normal via Box-Muller from two hash words."""
+    u1 = _u01(shape, salt, seed)
+    u2 = _u01(shape, salt + 1, seed)
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(
+        jnp.float32(2.0 * jnp.pi) * u2)
+
+
 def _poisson_inv_cdf(u: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Exact Poisson sampling by CDF inversion, valid for small lam.
 
@@ -52,7 +102,8 @@ def _poisson_inv_cdf(u: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     return k
 
 
-def _poisson_ptrs(key, lam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _poisson_ptrs(key, lam: jnp.ndarray, fast_bits: bool = False,
+                  seed=None) -> tuple[jnp.ndarray, jnp.ndarray]:
     """PTRS transformed rejection, _PTRS_ROUNDS fixed rounds.
 
     Returns (k, ok); pixels with ok=False failed every round.
@@ -66,9 +117,13 @@ def _poisson_ptrs(key, lam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     k = jnp.zeros_like(lam)
     ok = jnp.zeros(lam.shape, jnp.bool_)
     for r in range(_PTRS_ROUNDS):
-        ku, kv = jax.random.split(jax.random.fold_in(key, r))
-        u = jax.random.uniform(ku, lam.shape, lam.dtype) - 0.5
-        v = jax.random.uniform(kv, lam.shape, lam.dtype)
+        if fast_bits:
+            u = _u01(lam.shape, 16 + 2 * r, seed) - 0.5
+            v = _u01(lam.shape, 17 + 2 * r, seed)
+        else:
+            ku, kv = jax.random.split(jax.random.fold_in(key, r))
+            u = jax.random.uniform(ku, lam.shape, lam.dtype) - 0.5
+            v = jax.random.uniform(kv, lam.shape, lam.dtype)
         us = 0.5 - jnp.abs(u)
         cand = jnp.floor((2.0 * a / us + b) * u + lam + 0.43)
         # fast acceptance region
@@ -84,52 +139,69 @@ def _poisson_ptrs(key, lam: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return k, ok
 
 
-def poisson_fixed(key, lam: jnp.ndarray) -> jnp.ndarray:
+def poisson_fixed(key, lam: jnp.ndarray,
+                  fast_bits: bool = False) -> jnp.ndarray:
     """Poisson(lam) draws, float32 counts, lam >= 0 elementwise.
 
     Exact inverse-CDF for lam < _SPLIT; PTRS (4 fixed rounds) above, with
-    a rounded-normal fallback on the ~1e-5 residual.
+    a rounded-normal fallback on the ~1e-5 residual.  fast_bits swaps the
+    threefry draws for the counter-hash bitstream (see module doc).
     """
     lam = lam.astype(jnp.float32)
-    k_inv_key, k_ptrs_key, k_norm_key = jax.random.split(key, 3)
     small = lam < _SPLIT
 
-    u = jax.random.uniform(k_inv_key, lam.shape, jnp.float32)
+    if fast_bits:
+        seed = _seed_from_key(key)
+        u = _u01(lam.shape, 1, seed)
+        z = _normal(lam.shape, 8, seed)
+        k_ptrs_key = key
+    else:
+        seed = None
+        k_inv_key, k_ptrs_key, k_norm_key = jax.random.split(key, 3)
+        u = jax.random.uniform(k_inv_key, lam.shape, jnp.float32)
+        z = jax.random.normal(k_norm_key, lam.shape, jnp.float32)
+
     # clamp the inverse-CDF lam so the large-lam lanes don't overflow the
     # 42-term recurrence (their value is discarded by the select)
     k_small = _poisson_inv_cdf(u, jnp.minimum(lam, _SPLIT))
 
     lam_big = jnp.maximum(lam, _SPLIT)  # keep PTRS constants in-domain
-    k_big, ok = _poisson_ptrs(k_ptrs_key, lam_big)
-    z = jax.random.normal(k_norm_key, lam.shape, jnp.float32)
+    k_big, ok = _poisson_ptrs(k_ptrs_key, lam_big, fast_bits, seed)
     k_fallback = jnp.maximum(jnp.round(lam + jnp.sqrt(lam) * z), 0.0)
     k_big = jnp.where(ok, k_big, k_fallback)
 
     return jnp.where(small, k_small, k_big)
 
 
-def gamma_fixed(key, a: float, shape, dtype=jnp.float32) -> jnp.ndarray:
+def gamma_fixed(key, a: float, shape, dtype=jnp.float32,
+                fast_bits: bool = False) -> jnp.ndarray:
     """Gamma(a, 1) draws for static shape parameter a > 1.
 
     Marsaglia-Tsang (2000) squeeze with 4 fixed rounds: d = a - 1/3,
     c = 1/sqrt(9d); x ~ N(0,1), v = (1+cx)^3, accept v > 0 and
     ln U < x^2/2 + d - dv + d ln v.  Residual failures (~1e-6 of lanes
-    for a ~ 2) keep the last round's d*v.
+    for a ~ 2) keep the last round's d*v.  fast_bits swaps the threefry
+    draws for the counter-hash bitstream (see module doc).
     """
     if not a > 1.0:
         raise ValueError(f'gamma_fixed requires shape a > 1, got {a}')
     d = jnp.asarray(a - 1.0 / 3.0, dtype)
     c = 1.0 / jnp.sqrt(9.0 * d)
+    seed = _seed_from_key(key) if fast_bits else None
 
     out = jnp.zeros(shape, dtype)        # overwritten on any accept
     last = d * jnp.ones(shape, dtype)    # most recent positive candidate
     ok = jnp.zeros(shape, jnp.bool_)
     for r in range(4):
-        kx, ku = jax.random.split(jax.random.fold_in(key, r))
-        x = jax.random.normal(kx, shape, dtype)
+        if fast_bits:
+            x = _normal(shape, 32 + 3 * r, seed)
+            u = _u01(shape, 34 + 3 * r, seed)
+        else:
+            kx, ku = jax.random.split(jax.random.fold_in(key, r))
+            x = jax.random.normal(kx, shape, dtype)
+            u = jax.random.uniform(ku, shape, dtype,
+                                   jnp.finfo(dtype).tiny, 1.0)
         v = (1.0 + c * x) ** 3
-        u = jax.random.uniform(ku, shape, dtype,
-                               jnp.finfo(dtype).tiny, 1.0)
         pos = v > 0.0
         vs = jnp.where(pos, v, 1.0)  # guard log of non-positive
         accept = pos & (jnp.log(u) <

@@ -73,19 +73,21 @@ def _u8_unique_count(img_u8: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jax.lax.population_count(packed))
 
 
-def poisson(key, x01: jnp.ndarray, img_u8: jnp.ndarray) -> jnp.ndarray:
+def poisson(key, x01: jnp.ndarray, img_u8: jnp.ndarray,
+            fast_bits: bool = False) -> jnp.ndarray:
     """skimage random_noise(mode='poisson'):
     vals = 2**ceil(log2(len(unique(image)))); out = Poisson(x*vals)/vals,
     clipped.  For uint8-origin images unique(x01) == unique(u8), computed
     exactly on device via a packed 256-bit presence set (no data-dependent
-    shapes)."""
+    shapes).  fast_bits: counter-hash draws (fast_samplers module doc)."""
     n_unique = _u8_unique_count(img_u8)
     vals = 2.0 ** jnp.ceil(jnp.log2(n_unique.astype(jnp.float32)))
     lam = x01 * vals
     # fixed-round sampler: jax.random.poisson's rejection while_loop costs
     # ~15 ms/image on TPU inside the mix programs (see fast_samplers)
     from tpudenoise.noise.fast_samplers import poisson_fixed
-    out = poisson_fixed(key, lam).astype(x01.dtype) / vals
+    out = poisson_fixed(key, lam, fast_bits=fast_bits).astype(
+        x01.dtype) / vals
     return jnp.clip(out, 0.0, 1.0)
 
 
@@ -115,13 +117,14 @@ def uniform_add(key, x01: jnp.ndarray, high: float) -> jnp.ndarray:
 
 
 def gamma_add(key, x01: jnp.ndarray, scale: float,
-              a: float = 1.99) -> jnp.ndarray:
+              a: float = 1.99, fast_bits: bool = False) -> jnp.ndarray:
     """scipy.stats.gamma.rvs(a=1.99, scale) added, no clip
     (ref test.py:1300-1437).  Fixed-round Marsaglia-Tsang sampler:
     jax.random.gamma's while_loop costs ~18 ms/image on TPU (see
-    fast_samplers)."""
+    fast_samplers).  fast_bits: counter-hash draws."""
     from tpudenoise.noise.fast_samplers import gamma_fixed
-    g = gamma_fixed(key, a, x01.shape, x01.dtype) * scale
+    g = gamma_fixed(key, a, x01.shape, x01.dtype,
+                    fast_bits=fast_bits) * scale
     return x01 + g
 
 

@@ -58,7 +58,8 @@ def _apply_wavelet_from_float(imgf: jnp.ndarray) -> jnp.ndarray:
 
 
 def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
-                 use_pallas: bool = False, level=None):
+                 use_pallas: bool = False, level=None,
+                 fast_bits: bool = False):
     """Run the generator, returning the float-domain noisy image plus how
     to get the u8-domain version (some kinds are natively u8).
 
@@ -69,7 +70,10 @@ def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
 
     level: optional TRACED level overriding spec.level — the mix path
     collapses same-kind entries into one branch with the level as data
-    (see _group_specs), so the 38-entry tables compile ~14 branches."""
+    (see _group_specs), so the 38-entry tables compile ~14 branches.
+
+    fast_bits: counter-hash draws for the sampler-heavy kinds
+    (poisson/gamma — see fast_samplers module doc)."""
     x01 = G.to_unit(img_u8)
     k = spec.kind
     lvl = spec.level if level is None else level
@@ -82,7 +86,7 @@ def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
             kn, var = key, lvl
         return G.gaussian(kn, x01, var), 'unit'
     if k == Kind.POISSON:
-        return G.poisson(key, x01, img_u8), 'unit'
+        return G.poisson(key, x01, img_u8, fast_bits=fast_bits), 'unit'
     if k == Kind.SAP:
         return G.salt_and_pepper(key, x01, lvl), 'unit'
     if k == Kind.SPECKLE:
@@ -90,7 +94,7 @@ def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
     if k == Kind.UNIFORM:
         return G.uniform_add(key, x01, lvl), 'unit'
     if k == Kind.GAMMA:
-        return G.gamma_add(key, x01, lvl), 'unit'
+        return G.gamma_add(key, x01, lvl, fast_bits=fast_bits), 'unit'
     if k == Kind.RAYLEIGH:
         return G.rayleigh_add(key, x01, lvl), 'unit'
     if k == Kind.BROWNIAN:
@@ -121,7 +125,7 @@ _WAVELET_ON_FLOAT = {Kind.GAUSSIAN, Kind.SAP, Kind.SPECKLE, Kind.UNIFORM,
 
 def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
                hw=None, use_pallas: bool = False,
-               level=None) -> jnp.ndarray:
+               level=None, fast_bits: bool = False) -> jnp.ndarray:
     """One (kind, level, denoise) combination on one image.
 
     Returns float32 in the domain the reference would feed downstream:
@@ -130,9 +134,11 @@ def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
     denoise stencils run on the full canvas — callers pad with edge
     replication so the valid-boundary stencil halo sees plausible pixels.
     level: optional traced level override (mix branch collapsing).
+    fast_bits: counter-hash sampler draws (see _noisy_float).
     """
     noisy, dom = _noisy_float(spec, key, img_u8, hw=hw,
-                              use_pallas=use_pallas, level=level)
+                              use_pallas=use_pallas, level=level,
+                              fast_bits=fast_bits)
     if dom == 'unit':
         u8 = G.wrap_cast_u8(255.0 * noisy)
     else:
@@ -165,24 +171,6 @@ def apply_post(denoise: Denoise, img: jnp.ndarray,
     # path filters without rounding
     return _FILTERS[denoise](img, not unit_float)
 
-
-
-def _to_fast_keys(keys):
-    """Per-image threefry keys -> rbg keys (TPU hardware RNG), derived
-    deterministically from the key data.
-
-    Threefry costs ~20 ALU ops per random word; at 600x1000x3 a single
-    field draw is ~2 ms of pure VPU counter work, and the big-mix
-    generators draw 1-4 fields per image — the dominant cost of the XLA
-    noise path.  The rbg impl uses the hardware RNG instruction instead:
-    identical statistics, different stream (the same accepted trade as
-    the fused Pallas kernels' coordinate-hash RNG).  Derivation is
-    deterministic in the incoming key, so runs remain reproducible."""
-    def one(k):
-        d = jax.random.key_data(k).reshape(-1).astype(jnp.uint32)
-        seed = d[-1] ^ (d[0] * jnp.uint32(2654435761))
-        return jax.random.key(seed, impl='rbg')
-    return jax.vmap(one)(keys)
 
 
 # kinds whose generator accepts the level as TRACED data (pure jnp math
@@ -229,7 +217,8 @@ def _group_specs(specs):
 
 
 def _apply_specs_batched(specs, keys, images, hw=None,
-                         use_pallas: bool = False):
+                         use_pallas: bool = False,
+                         fast_bits: bool = False):
     """Per-image spec application over a batch.
 
     Single spec: plain vmap.  Mix (>1 specs): lax.scan over images with a
@@ -244,11 +233,12 @@ def _apply_specs_batched(specs, keys, images, hw=None,
     if len(specs) == 1:
         if hw is None:
             return jax.vmap(functools.partial(apply_spec, specs[0],
-                                              use_pallas=use_pallas)
+                                              use_pallas=use_pallas,
+                                              fast_bits=fast_bits)
                             )(keys, images)
         return jax.vmap(lambda k, im, e: apply_spec(
-            specs[0], k, im, hw=e, use_pallas=use_pallas))(keys, images,
-                                                           hw)
+            specs[0], k, im, hw=e, use_pallas=use_pallas,
+            fast_bits=fast_bits))(keys, images, hw)
 
     templates, traced_flags, entry_branch, entry_level = _group_specs(
         specs)
@@ -258,7 +248,7 @@ def _apply_specs_batched(specs, keys, images, hw=None,
     if hw is None:
         branches = [
             (lambda s, t: lambda k, im, lv: apply_spec(
-                s, k, im, use_pallas=use_pallas,
+                s, k, im, use_pallas=use_pallas, fast_bits=fast_bits,
                 level=lv if t else None))(s, t)
             for s, t in zip(templates, traced_flags)]
 
@@ -274,7 +264,7 @@ def _apply_specs_batched(specs, keys, images, hw=None,
 
     branches = [
         (lambda s, t: lambda k, im, e, lv: apply_spec(
-            s, k, im, hw=e, use_pallas=use_pallas,
+            s, k, im, hw=e, use_pallas=use_pallas, fast_bits=fast_bits,
             level=lv if t else None))(s, t)
         for s, t in zip(templates, traced_flags)]
 
@@ -289,7 +279,8 @@ def _apply_specs_batched(specs, keys, images, hw=None,
     return out
 
 
-def _pallas_bilateral_pipeline(specs, n_stages: int, keyfix=lambda ks: ks):
+def _pallas_bilateral_pipeline(specs, n_stages: int,
+                               fast_bits: bool = False):
     """Noise in the XLA program (scanned per-image lax.switch for mixes);
     each bilateral stage (generator `_bilateral` variant and/or standalone
     post-pass, ref minibatch.py:1636-1663) as ONE batched Pallas HBM pass
@@ -302,27 +293,27 @@ def _pallas_bilateral_pipeline(specs, n_stages: int, keyfix=lambda ks: ks):
 
     @jax.jit
     def run(key, images):
-        keys = keyfix(jax.random.split(key, images.shape[0]))
+        keys = jax.random.split(key, images.shape[0])
         out = _apply_specs_batched(stripped, keys, images,
-                                   use_pallas=True)
+                                   use_pallas=True, fast_bits=fast_bits)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
 
     @jax.jit
     def run_keyed(keys, images):
-        ks = keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
         out = _apply_specs_batched(stripped, ks, images,
-                                   use_pallas=True)
+                                   use_pallas=True, fast_bits=fast_bits)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
 
     @jax.jit
     def run_masked(keys, images, hw):
-        ks = keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
         out = _apply_specs_batched(stripped, ks, images, hw,
-                                   use_pallas=True)
+                                   use_pallas=True, fast_bits=fast_bits)
         for _ in range(n_stages):
             out = bilateral_pallas(out)
         return out
@@ -347,19 +338,22 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
     statistics.  Default None = auto: Pallas on TPU, XLA elsewhere — this
     is what the production call sites (Solver, eval harness) use.
 
-    fast_rng swaps the XLA generators' per-image keys for rbg (hardware
-    RNG) keys — see _to_fast_keys.  Default None = OFF everywhere:
-    MEASURED ~300x SLOWER on TPU v5e for the scanned-switch mix program
-    (0.6 vs 175 img/s, mix_var_all_wavelet B=16 — the rbg generator is
-    pathological inside lax.scan branches here), and wrapping a fast_rng
-    mix program in an OUTER lax.scan faults the TPU worker outright.
-    The knob is kept for experimentation on other hardware only.
+    fast_rng swaps the sampler-heavy generators' (poisson/gamma) threefry
+    draws for a splitmix counter-hash bitstream (fast_samplers._u01 — the
+    same stream-trade as the fused Pallas kernels' coordinate-hash RNG;
+    ~9 vs ~20+ ALU ops per word, and those two branches draw 11-12 fields
+    per image).  Distribution unchanged (chi-square/KS-pinned), stream
+    differs.  Default None = OFF: the XLA threefry path is the semantics
+    reference, and the recorded noise-grid baseline (RESULTS.md) pins its
+    stream.  [An earlier fast_rng=rbg-hardware-keys experiment was
+    removed: measured ~300x SLOWER inside the scanned-switch mix program
+    on TPU v5e, and an outer lax.scan around it faulted the TPU worker.]
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == 'tpu'
     if fast_rng is None:
         fast_rng = False
-    _keyfix = _to_fast_keys if fast_rng else (lambda ks: ks)
+    fast_bits = bool(fast_rng)
     if isinstance(plan, str):
         plan = parse(plan, mode=mode, strict_ref=strict_ref)
     specs = plan.specs
@@ -478,7 +472,7 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         # Pallas bilateral once over the whole mixed batch
         if (plan.post_denoise == Denoise.BILATERAL
                 and all(s.denoise == Denoise.NONE for s in specs)):
-            return _pallas_bilateral_pipeline(specs, 1, _keyfix)
+            return _pallas_bilateral_pipeline(specs, 1, fast_bits)
     unit_float = all(s.unit_float_output for s in specs)
 
     def _post_batched(out):
@@ -495,27 +489,30 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
 
     @jax.jit
     def run(key, images):
-        keys = _keyfix(jax.random.split(key, images.shape[0]))
+        keys = jax.random.split(key, images.shape[0])
         return _post_batched(_apply_specs_batched(
-            specs, keys, images, use_pallas=use_pallas))
+            specs, keys, images, use_pallas=use_pallas,
+            fast_bits=fast_bits))
 
     @jax.jit
     def run_keyed(keys, images):
         # per-image keys (e.g. fold_in(key, image_index) from the batched
         # eval harness); reproduce the B=1 run() stream exactly:
         # split(k, 1)[0] per image
-        ks = _keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
         return _post_batched(_apply_specs_batched(
-            specs, ks, images, use_pallas=use_pallas))
+            specs, ks, images, use_pallas=use_pallas,
+            fast_bits=fast_bits))
 
     @jax.jit
     def run_masked(keys, images, hw):
         # bucketed eval path: images are padded to a static bucket, hw is
         # the per-image valid (h, w); raster-dependent generators follow
         # the valid geometry, caller crops the output back to (h, w)
-        ks = _keyfix(jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys))
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
         return _post_batched(_apply_specs_batched(
-            specs, ks, images, hw, use_pallas=use_pallas))
+            specs, ks, images, hw, use_pallas=use_pallas,
+            fast_bits=fast_bits))
 
     run.keyed = run_keyed
     run.masked = run_masked
