@@ -118,8 +118,14 @@ def _poisson_ptrs(key, lam: jnp.ndarray, fast_bits: bool = False,
     ok = jnp.zeros(lam.shape, jnp.bool_)
     for r in range(_PTRS_ROUNDS):
         if fast_bits:
-            u = _u01(lam.shape, 16 + 2 * r, seed) - 0.5
-            v = _u01(lam.shape, 17 + 2 * r, seed)
+            # one hash word per round: u rides the high 16 bits, v the
+            # low 16 (the acceptance geometry tolerates 2^-16 coordinate
+            # quantization — chi-square-pinned in tests)
+            w = _hash_words(lam.shape, 16 + r, seed)
+            u = ((w >> 16).astype(jnp.int32).astype(jnp.float32) + 0.5) \
+                * jnp.float32(2.0 ** -16) - 0.5
+            v = ((w & jnp.uint32(0xFFFF)).astype(jnp.int32)
+                 .astype(jnp.float32) + 0.5) * jnp.float32(2.0 ** -16)
         else:
             ku, kv = jax.random.split(jax.random.fold_in(key, r))
             u = jax.random.uniform(ku, lam.shape, lam.dtype) - 0.5
