@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument('--profile', default=None, metavar='DIR',
                    help='capture a jax.profiler trace of the eval into '
                         'DIR (view in TensorBoard/Perfetto)')
+    p.add_argument('--fast-rng', action='store_true',
+                   help='counter-hash bitstream draws for the poisson/'
+                        'gamma noise samplers (faster; different stream,'
+                        ' same distribution)')
     p.add_argument('--host-prep', action='store_true',
                    help='use the host cv2.resize prep instead of the '
                         'on-device bilinear prep (batched eval only)')
@@ -108,12 +112,14 @@ def main(argv=None):
                              max_per_image=args.max_per_image, config=cfg,
                              strict_ref=args.strict_ref,
                              compute_id=args.compute_id,
-                             device_prep=not args.host_prep)
+                             device_prep=not args.host_prep,
+                             fast_rng=args.fast_rng)
         else:
             test_net(model, params, imdb_obj, weights_name, args.noise,
                      max_per_image=args.max_per_image, config=cfg,
                      strict_ref=args.strict_ref,
-                     compute_id=args.compute_id)
+                     compute_id=args.compute_id,
+                     fast_rng=args.fast_rng)
 
 
 if __name__ == '__main__':

@@ -36,6 +36,10 @@ def parse_args(argv=None):
     p.add_argument('--bucket', type=int, nargs=2, default=None,
                    help='static padded image bucket H W (default: derived '
                         'from TRAIN geometry and dataset orientations)')
+    p.add_argument('--fast-rng', action='store_true',
+                   help='counter-hash bitstream draws for the poisson/'
+                        'gamma noise samplers (faster; different stream,'
+                        ' same distribution)')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None, help='set config keys')
     return p.parse_args(argv)
@@ -80,7 +84,8 @@ def main(argv=None):
     train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
               pretrained_params=pretrained, max_iters=args.max_iters,
               noise=args.noise, config=cfg, batch_size=args.batch,
-              bucket=tuple(args.bucket) if args.bucket else None)
+              bucket=tuple(args.bucket) if args.bucket else None,
+              fast_rng=args.fast_rng)
 
 
 if __name__ == '__main__':

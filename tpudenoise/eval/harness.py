@@ -108,7 +108,8 @@ def _pad_raw_to_bucket(im: 'np.ndarray', bucket):
 def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
              max_per_image: int = 100, thresh: float = 0.0,
              config=None, bucket=None, strict_ref: bool = False,
-             target_size=None, max_size=None, compute_id: bool = False):
+             target_size=None, max_size=None, compute_id: bool = False,
+             fast_rng: bool = False):
     """Full dataset evaluation (ref test.py:166-2226).
 
     bucket=None derives orientation-aware static buckets from the TEST
@@ -143,7 +144,8 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
         feats = {}
     output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
 
-    noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
+    noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref,
+                             fast_rng=fast_rng)
     print(f'noise pipeline backend: {noise_fn.backend}')
     key = jax.random.PRNGKey(C.RNG_SEED)
     timers = {'im_detect': Timer(), 'misc': Timer()}
@@ -280,7 +282,7 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                      max_per_image: int = 100, thresh: float = 0.0,
                      config=None, bucket=None, strict_ref: bool = False,
                      compute_id: bool = False, mesh='auto',
-                     device_prep: bool = True):
+                     device_prep: bool = True, fast_rng: bool = False):
     """Batched evaluation: images grouped by original size (noise runs on
     the original-resolution batch) and by padded bucket; one vmapped
     forward + postprocess per chunk.  ~4x fewer dispatches and full MXU
@@ -320,7 +322,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
         probe_fn = make_probe_fn(model)
         feats = {}
     output_dir = get_output_dir(imdb_obj.name, weights_filename, C)
-    noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref)
+    noise_fn = make_pipeline(noise, mode='TEST', strict_ref=strict_ref,
+                             fast_rng=fast_rng)
     print(f'noise pipeline backend: {noise_fn.backend}')
     key = jax.random.PRNGKey(C.RNG_SEED)
     t_size, m_size = C.TEST.SCALES[0], C.TEST.MAX_SIZE

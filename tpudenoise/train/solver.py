@@ -38,7 +38,8 @@ class Solver:
     def __init__(self, model, imdb_obj, roidb, valroidb, output_dir,
                  tb_dir, noise: str = 'original', config=None,
                  batch_size: int = 1, bucket=None,
-                 max_gt: int = 100, prefetch: bool = False):
+                 max_gt: int = 100, prefetch: bool = False,
+                 fast_rng: bool = False):
         self.model = model
         self.imdb = imdb_obj
         self.roidb = roidb
@@ -67,7 +68,8 @@ class Solver:
         # fused on-device noise for the TRAIN pipeline semantics
         # (use_pallas auto: fused Pallas kernels on TPU, XLA elsewhere)
         self._noise_fn = make_pipeline(
-            parse_noise(noise, mode='TRAIN'), mode='TRAIN')
+            parse_noise(noise, mode='TRAIN'), mode='TRAIN',
+            fast_rng=fast_rng)
         print(f'noise pipeline backend: {self._noise_fn.backend}')
         # production multi-chip: cfg.TPU.MESH_SHAPE mesh when >1 device
         # and the batch divides it — params replicate, batches shard on
@@ -282,14 +284,14 @@ class Solver:
 def train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
               pretrained_params=None, max_iters: int = 40000,
               noise: str = 'original', config=None, batch_size: int = 1,
-              bucket=None):
+              bucket=None, fast_rng: bool = False):
     """Entry point (ref train_val.py:498-516)."""
     from tpudenoise.data.roidb import filter_roidb
     roidb = filter_roidb(roidb, config)
     valroidb = filter_roidb(valroidb, config) if valroidb else []
     solver = Solver(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
                     noise=noise, config=config, batch_size=batch_size,
-                    bucket=bucket)
+                    bucket=bucket, fast_rng=fast_rng)
     if pretrained_params is not None:
         base = solver._init_state_fn(
             jax.random.PRNGKey((config or default_cfg).RNG_SEED),
