@@ -85,7 +85,7 @@ def bench_config1(images_u8, seeds):
     return _time_scanned(step, images_u8)
 
 
-def bench_config3(images_f32, noise, inner=4, reps=3):
+def bench_config3(images_f32, noise, inner=4, reps=3, fast_rng=False):
     """Mixed-noise batch + denoise post-pass through the production
     make_pipeline routing (bilateral rides the batched Pallas stencil;
     wavelet runs the MXU band-matrix DWT).
@@ -98,7 +98,7 @@ def bench_config3(images_f32, noise, inner=4, reps=3):
     program keeps several full-batch f32 temporaries live, so batch 128
     overflows HBM."""
     from tpudenoise.noise.pipeline import make_pipeline
-    fn = make_pipeline(noise, mode='TRAIN')
+    fn = make_pipeline(noise, mode='TRAIN', fast_rng=fast_rng)
     key = jax.random.PRNGKey(3)
     images = images_f32[:64]
     b = images.shape[0]
@@ -268,6 +268,13 @@ def main():
                       'noise_mix_var_all_wavelet'):
             ips, backend = bench_config3(images_f32, noise)
             print(json.dumps(_result(f'{backend} {noise}', ips)))
+        # same mix+wavelet with the counter-hash sampler draws
+        # (--fast-rng production knob; labeled separately)
+        ips, backend = bench_config3(images_f32,
+                                     'noise_mix_var_all_wavelet',
+                                     fast_rng=True)
+        print(json.dumps(_result(
+            f'{backend}+fast_rng noise_mix_var_all_wavelet', ips)))
         fps = bench_config4()
         print(json.dumps({
             "metric": "vgg16 faster-rcnn inference 608x1024",
