@@ -72,9 +72,11 @@ def test_solver_train_snapshot_resume(env, tmp_path):
     roidb = filter_roidb(get_training_roidb(d, 'original', cfg), cfg)
     model = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
     out_dir = str(tmp_path / 'out')
+    # prefetch=True is the production CLI default; the snapshot cursor
+    # protocol must stay exact under it (prefetch.py state handoff)
     solver = Solver(model, d, roidb, roidb, out_dir,
                     str(tmp_path / 'tb'), noise='original', config=cfg,
-                    bucket=BUCKET)
+                    bucket=BUCKET, prefetch=True)
     state = solver.train_model(max_iters=3)
     assert int(state.step) == 3
     # snapshots written at iters 2 and 3
@@ -85,7 +87,7 @@ def test_solver_train_snapshot_resume(env, tmp_path):
     # resume continues from 3 and reaches 5
     solver2 = Solver(model, d, roidb, roidb, out_dir,
                      str(tmp_path / 'tb2'), noise='original', config=cfg,
-                     bucket=BUCKET)
+                     bucket=BUCKET, prefetch=True)
     state2 = solver2.train_model(max_iters=5)
     assert int(state2.step) == 5
 

@@ -36,6 +36,9 @@ def parse_args(argv=None):
     p.add_argument('--bucket', type=int, nargs=2, default=None,
                    help='static padded image bucket H W (default: derived '
                         'from TRAIN geometry and dataset orientations)')
+    p.add_argument('--no-prefetch', action='store_true',
+                   help='disable the threaded JPEG-decode prefetch '
+                        '(exact-resume-safe, on by default)')
     p.add_argument('--fast-rng', action='store_true',
                    help='counter-hash bitstream draws for the poisson/'
                         'gamma noise samplers (faster; different stream,'
@@ -85,7 +88,7 @@ def main(argv=None):
               pretrained_params=pretrained, max_iters=args.max_iters,
               noise=args.noise, config=cfg, batch_size=args.batch,
               bucket=tuple(args.bucket) if args.bucket else None,
-              fast_rng=args.fast_rng)
+              fast_rng=args.fast_rng, prefetch=not args.no_prefetch)
 
 
 if __name__ == '__main__':

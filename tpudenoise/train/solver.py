@@ -284,14 +284,15 @@ class Solver:
 def train_net(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
               pretrained_params=None, max_iters: int = 40000,
               noise: str = 'original', config=None, batch_size: int = 1,
-              bucket=None, fast_rng: bool = False):
+              bucket=None, fast_rng: bool = False,
+              prefetch: bool = False):
     """Entry point (ref train_val.py:498-516)."""
     from tpudenoise.data.roidb import filter_roidb
     roidb = filter_roidb(roidb, config)
     valroidb = filter_roidb(valroidb, config) if valroidb else []
     solver = Solver(model, imdb_obj, roidb, valroidb, output_dir, tb_dir,
                     noise=noise, config=config, batch_size=batch_size,
-                    bucket=bucket, fast_rng=fast_rng)
+                    bucket=bucket, fast_rng=fast_rng, prefetch=prefetch)
     if pretrained_params is not None:
         base = solver._init_state_fn(
             jax.random.PRNGKey((config or default_cfg).RNG_SEED),
