@@ -274,7 +274,7 @@ def main():
                                      'noise_mix_var_all_wavelet',
                                      fast_rng=True)
         print(json.dumps(_result(
-            f'{backend}+fast_rng noise_mix_var_all_wavelet', ips)))
+            f'{backend} noise_mix_var_all_wavelet', ips)))
         fps = bench_config4()
         print(json.dumps({
             "metric": "vgg16 faster-rcnn inference 608x1024",

@@ -516,5 +516,5 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
 
     run.keyed = run_keyed
     run.masked = run_masked
-    run.backend = 'xla'
+    run.backend = 'xla+fast_rng' if fast_bits else 'xla'
     return run
