@@ -189,3 +189,35 @@ def test_group_specs_preserves_entry_tables():
                           if s.kind == Kind.QUANT}
         quant_levels = {s.level for s in specs if s.kind == Kind.QUANT}
         assert len(quant_branches) == len(quant_levels)
+
+
+def test_grammar_full_cross_product():
+    """Every (kind, denoise-variant) cell of the reference grammar
+    (test.py:1641-1831 elif chains x the 5 filter suffixes) builds and
+    produces a valid image — catches per-cell routing breaks (e.g. the
+    per-kind wavelet domain table) that the spot checks above miss."""
+    kinds = ['gaussian_var0.1', 'poisson', 'sap_var0.4', 'speckle_var1.0',
+             'periodic_var100', 'brownian_var0.09', 'quant_var7',
+             'uniform_var0.6', 'gamma_var0.1', 'rayleigh_var0.2',
+             'bloom', 'shader', 'original']
+    denoises = ['', '_gaus_blur', '_mean', '_median', '_bilateral',
+                '_wavelet']
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    small = jnp.asarray(rng.randint(0, 256, (1, 24, 32, 3))
+                        .astype(np.float32))
+    for kind in kinds:
+        for d in denoises:
+            if '_var' in kind:
+                stem, var = kind.rsplit('_var', 1)
+                noise = f'{stem}{d}_var{var}'
+            else:
+                noise = f'{kind}{d}'
+            fn = make_pipeline(noise, mode='TEST', use_pallas=False)
+            out = np.asarray(fn(KEY, small))
+            assert out.shape == small.shape, noise
+            assert np.isfinite(out).all(), noise
+            if noise == 'gaussian':  # plain-gaussian unit-float quirk
+                assert out.max() <= 1.0, noise
+            else:
+                assert out.min() >= 0.0 and out.max() <= 255.0, noise
