@@ -117,3 +117,28 @@ def test_factory_names():
     names = list_imdbs()
     assert 'rrData_2021_train' in names
     assert 'voc_2007_trainval' in names
+
+
+def test_mcg_munge_layout(tmp_path):
+    """mcg_munge relayouts flat MCG .mat files into the nested
+    first14/first22 scheme (ref lib/datasets/tools/mcg_munge.py)."""
+    import os
+    from tpudenoise.data.mcg_munge import munge
+    src = tmp_path / 'MCG-COCO-val2014-boxes'
+    src.mkdir()
+    names = ['COCO_val2014_000000193401.mat',
+             'COCO_val2014_000000141334.mat']
+    for n in names:
+        (src / n).write_bytes(b'x')
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        assert munge(str(src)) == 2
+    finally:
+        os.chdir(cwd)
+    assert (tmp_path / 'MCG' / 'mat' / 'COCO_val2014_0' /
+            'COCO_val2014_000000193' /
+            'COCO_val2014_000000193401.mat').exists()
+    assert (tmp_path / 'MCG' / 'mat' / 'COCO_val2014_0' /
+            'COCO_val2014_000000141' /
+            'COCO_val2014_000000141334.mat').exists()
