@@ -120,3 +120,19 @@ def test_metrics_logger_image_summary(tmp_path):
     assert any(t == 'train/gt_image' and s == 7
                and (k == 'image' or plug == 'images')
                for t, s, k, plug in found), found
+
+
+def test_load_images_helper(tmp_path):
+    """Helpers.load_images contract: glob -> RGB -> resize to 1280x720
+    (ref tools/Helpers.py:87-94)."""
+    import cv2
+    import numpy as np
+    from tpudenoise.utils.visualization import load_images
+    im = np.zeros((10, 12, 3), np.uint8)
+    im[:, :, 0] = 255  # blue in BGR on disk
+    cv2.imwrite(str(tmp_path / 'a.jpg'), im)
+    cv2.imwrite(str(tmp_path / 'b.jpg'), im)
+    out = load_images(str(tmp_path / '*.jpg'), size=(64, 32))
+    assert len(out) == 2 and out[0].shape == (32, 64, 3)
+    # BGR->RGB flip: the blue plane must land in channel 2
+    assert out[0][..., 2].mean() > 200 and out[0][..., 0].mean() < 50

@@ -61,3 +61,16 @@ def image_grid(images, cols: int = 4, pad: int = 2) -> np.ndarray:
 def save_image(path: str, image: np.ndarray):
     import cv2
     cv2.imwrite(path, np.clip(np.asarray(image), 0, 255).astype(np.uint8))
+
+
+def load_images(path_glob: str, size=(1280, 720)):
+    """Glob-load images as RGB, resized to `size` (ref tools/Helpers.py:
+    87-94 — the Automold notebooks' loader; BGR->RGB + 1280x720)."""
+    import glob as _glob
+
+    import cv2
+    out = []
+    for p in sorted(_glob.glob(path_glob)):
+        im = cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+        out.append(cv2.resize(im, size))
+    return out
