@@ -13,4 +13,8 @@ python -u benchmarks/profile_mix_kinds.py --fast-rng \
                                              > /tmp/r3m_mixf.log  2>&1
 python -u benchmarks/profile_detect.py res101 --batch 8 \
                                              > /tmp/r3m_det8.log  2>&1
+# regenerate the noise-grid baseline (wavelet rows stale since the
+# bf16x3 DWT precision change — see RESULTS.md note)
+python -u experiments/noise_grid.py --net res101 \
+                                             > /tmp/r3m_grid.log  2>&1
 echo DONE

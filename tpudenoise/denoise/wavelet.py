@@ -130,10 +130,14 @@ def _synthesis_1d(lo: jnp.ndarray, hi: jnp.ndarray, n: int, axis: int):
 # shapes) and verified against the slice path by tests.
 # ---------------------------------------------------------------------
 
-# bf16x3 MXU passes: ~1e-6 relative error on [0,1] data — an order
-# under the 2e-5 perfect-reconstruction budget and ~2x the throughput of
-# HIGHEST (measured FLOP-bound: level-1 dec+rec is ~235 GFLOP per
-# 16-image batch).  CPU (tests) always computes true f32.
+# bf16x3 MXU passes: measured 6e-5 single-level dec+rec error on [0,1]
+# data on TPU — ABOVE the 2e-5 perfect-reconstruction test budget (the
+# PR tests run on CPU, which computes true f32 regardless of this enum;
+# see PARITY.md #9 for why 6e-5 = 0.015 gray levels is absorbed by the
+# wrap-cast except isolated +/-1-level pixels).  ~2x the throughput of
+# HIGHEST (FLOP-bound: level-1 dec+rec is ~235 GFLOP per 16-image
+# batch).  NB Precision.HIGH is backend-dependent: bf16x3 on TPU, TF32
+# (~1e-3) on GPU — revisit before any CUDA deployment.
 _PREC = jax.lax.Precision.HIGH
 
 
