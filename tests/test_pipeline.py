@@ -206,6 +206,10 @@ def test_grammar_full_cross_product():
     rng = np.random.RandomState(0)
     small = jnp.asarray(rng.randint(0, 256, (1, 24, 32, 3))
                         .astype(np.float32))
+
+    def stem_is_gaussian_plain(kind, d):
+        return kind.startswith('gaussian') and d == ''
+
     for kind in kinds:
         for d in denoises:
             if '_var' in kind:
@@ -217,7 +221,8 @@ def test_grammar_full_cross_product():
             out = np.asarray(fn(KEY, small))
             assert out.shape == small.shape, noise
             assert np.isfinite(out).all(), noise
-            if noise == 'gaussian':  # plain-gaussian unit-float quirk
+            if stem_is_gaussian_plain(kind, d):
+                # plain-gaussian unit-float quirk (ref test.py:290-305)
                 assert out.max() <= 1.0, noise
             else:
                 assert out.min() >= 0.0 and out.max() <= 255.0, noise

@@ -16,10 +16,8 @@ PIXEL_MEANS = np.array([[[102.9801, 115.9465, 122.7717]]], np.float32)
 
 
 def _scale_for(h, w, target=600, max_size=1000):
-    im_scale = float(target) / float(min(h, w))
-    if np.round(im_scale * max(h, w)) > max_size:
-        im_scale = float(max_size) / float(max(h, w))
-    return im_scale
+    from tpudenoise.utils.blob import rescale_geometry
+    return rescale_geometry(h, w, target, max_size)[0]
 
 
 @pytest.mark.parametrize('h,w', [(600, 1000), (375, 500), (480, 640),

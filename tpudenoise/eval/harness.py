@@ -395,10 +395,8 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
         """prep_im_for_blob's double-precision geometry rule (scale, oh,
         ow) — computed on host so im_info is bit-identical to the cv2
         path (np.round == cvRound: both half-to-even)."""
-        s = float(t_size) / float(min(h0, w0))
-        if np.round(s * max(h0, w0)) > m_size:
-            s = float(m_size) / float(max(h0, w0))
-        return s, int(np.round(h0 * s)), int(np.round(w0 * s))
+        from tpudenoise.utils.blob import rescale_geometry
+        return rescale_geometry(h0, w0, t_size, m_size)
 
     fwd, post = _batched_eval_fns(model, num_classes, C.TEST.NMS, thresh,
                                   max_per_image)
@@ -450,6 +448,7 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
     for ci, (nh, nw, chunk, n_real) in enumerate(chunks):
         timers['im_detect'].tic()
         raw = futs[ci].result()
+        futs[ci] = None  # release the decoded chunk (futures retain results)
         if ci + 1 < len(chunks):
             futs.append(ex.submit(_load_chunk, *chunks[ci + 1][:3]))
         raw_dev = jnp.asarray(raw)
@@ -473,6 +472,12 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             for i in chunk:
                 hi, wi = raw_shapes[i]
                 s, ph, pw = _geom_for(hi, wi)
+                # the host path's pad_to_bucket assertion, kept here: a
+                # too-small bucket would otherwise silently zero-truncate
+                # the image edge (resize_weights zero-fills past the
+                # canvas) while im_info still reports (ph, pw)
+                assert ph <= img_bucket[0] and pw <= img_bucket[1], \
+                    f'image {ph}x{pw} exceeds bucket {img_bucket}'
                 geom.append((hi, wi, ph, pw, s))
                 info_rows.append((ph, pw, s))
             geom_dev = jnp.asarray(np.asarray(geom, np.float32))

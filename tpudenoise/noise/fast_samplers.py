@@ -47,20 +47,25 @@ _PTRS_ROUNDS = 4  # PTRS acceptance >= ~0.93 for lam >= 10
 # (tests/test_noise.py).
 
 def _seed_from_key(key) -> jnp.ndarray:
-    """uint32 scalar seed derived from a threefry key's data."""
+    """(2,) uint32 seed words carrying the threefry key's FULL 64 bits —
+    a single mixed u32 would birthday-collide across ~10^5-10^6 per-image
+    fold_in keys (~45 expected collisions at 640k keys), silently giving
+    colliding images bit-identical noise fields."""
     d = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    return d[-1] ^ (d[0] * jnp.uint32(2654435761))
+    return jnp.stack([d[0], d[-1]])
 
 
 def _hash_words(shape, salt: int, seed) -> jnp.ndarray:
-    """uint32 avalanche hash of (flat counter, salt, seed) over `shape`."""
+    """uint32 avalanche hash of (flat counter, salt, seed64) over
+    `shape`; seed is the (2,) word pair from _seed_from_key."""
     n = 1
     for s in shape:
         n *= s
     idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
     h = (idx * jnp.uint32(0x9E3779B9)
          ^ jnp.uint32(salt) * jnp.uint32(0x85EBCA6B)
-         ^ jnp.asarray(seed, jnp.uint32) * jnp.uint32(0xC2B2AE35))
+         ^ seed[0] * jnp.uint32(0xC2B2AE35)
+         ^ seed[1] * jnp.uint32(0x27D4EB2F))
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x7FEB352D)
     h = h ^ (h >> 15)

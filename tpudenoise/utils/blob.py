@@ -16,19 +16,27 @@ def im_list_to_blob(ims) -> np.ndarray:
     return blob
 
 
+def rescale_geometry(h: int, w: int, target_size: int, max_size: int):
+    """The min-side/max-side rescale rule (ref blob.py:33-47), geometry
+    only: returns (scale, out_h, out_w) with cv2's rounded dsize.  The
+    single source of truth — prep_im_for_blob (host resize), the eval
+    harness's device-prep path and the resize parity tests all call
+    this; double precision so im_info is identical everywhere."""
+    im_scale = float(target_size) / float(min(h, w))
+    if np.round(im_scale * max(h, w)) > max_size:
+        im_scale = float(max_size) / float(max(h, w))
+    return (im_scale, int(np.round(h * im_scale)),
+            int(np.round(w * im_scale)))
+
+
 def prep_im_for_blob(im: np.ndarray, pixel_means, target_size: int,
                      max_size: int):
-    """Mean-subtract + min-side/max-side rescale (ref blob.py:33-47).
-    The single source of truth for the rescale rule — the loader, eval
-    harness and model preprocess all call this."""
+    """Mean-subtract + min-side/max-side rescale (ref blob.py:33-47),
+    rescale rule from rescale_geometry."""
     import cv2
     im = im.astype(np.float32, copy=False) - pixel_means
-    im_shape = im.shape
-    im_size_min = np.min(im_shape[0:2])
-    im_size_max = np.max(im_shape[0:2])
-    im_scale = float(target_size) / float(im_size_min)
-    if np.round(im_scale * im_size_max) > max_size:
-        im_scale = float(max_size) / float(im_size_max)
+    im_scale, _, _ = rescale_geometry(im.shape[0], im.shape[1],
+                                      target_size, max_size)
     im = cv2.resize(im, None, None, fx=im_scale, fy=im_scale,
                     interpolation=cv2.INTER_LINEAR)
     return im, im_scale
