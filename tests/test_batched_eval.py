@@ -136,3 +136,22 @@ def test_compute_id_per_layer_eval(env, capsys):
     # fixture has 5 images (< the 10-image floor) -> study skipped cleanly;
     # the probe collection itself must have run without error
     assert 'Evaluating detections' in outp
+
+
+def test_device_prep_rejects_too_small_bucket(env):
+    """A bucket smaller than the rescaled geometry must raise (the
+    device-prep resize would otherwise silently zero-truncate the image
+    edge while im_info still reports the full extent)."""
+    import jax
+    import pytest as _pytest
+    from tpudenoise.data.voc_like import rrData
+    from tpudenoise.eval.harness import test_net_batched
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    cfg = env
+    m = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(160, 224))
+    d = rrData('test', '2021', config=cfg)
+    d.competition_mode(True)
+    with _pytest.raises(AssertionError, match='exceeds bucket'):
+        test_net_batched(m, params, d, 'smallb', 'original',
+                         eval_batch=3, config=cfg, bucket=(64, 64))
