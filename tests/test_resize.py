@@ -93,3 +93,25 @@ def test_resize_weights_traced_lengths():
     # rows beyond out_len are zero; each live row sums to 1
     assert np.all(a[50:] == 0)
     np.testing.assert_allclose(a[:50].sum(1), 1.0, atol=1e-6)
+
+
+def test_resize_matches_cv2_random_geometry_sweep():
+    """Property sweep: 25 random raw shapes through the production
+    geometry rule, each pinned against cv2 (catches convention drift at
+    unusual aspect ratios / near-round scale factors)."""
+    rng = np.random.RandomState(42)
+    for _ in range(25):
+        h = int(rng.randint(120, 900))
+        w = int(rng.randint(120, 1100))
+        im = rng.randint(0, 256, (h, w, 3)).astype(np.float32)
+        scale = _scale_for(h, w)
+        ref = cv2.resize(im, None, None, fx=scale, fy=scale,
+                         interpolation=cv2.INTER_LINEAR)
+        oh, ow = ref.shape[:2]
+        bh = ((oh + 31) // 32) * 32
+        bw = ((ow + 31) // 32) * 32
+        got = np.asarray(resize_to_bucket(jnp.asarray(im), h, w, oh, ow,
+                                          scale, (bh, bw)))
+        np.testing.assert_allclose(got[:oh, :ow], ref, atol=0.06,
+                                   err_msg=f'{h}x{w} scale={scale}')
+        assert np.all(got[oh:] == 0) and np.all(got[:, ow:] == 0)
