@@ -103,6 +103,33 @@ def bench_config3(images_f32, noise, inner=4, reps=3, fast_rng=False):
     images = images_f32[:64]
     b = images.shape[0]
 
+    if fast_rng:
+        # An OUTER lax.scan around a fast_rng (hardware-RNG-keyed) mix
+        # program faults the TPU worker (~30-40 min recovery); plain
+        # per-batch dispatches are fine.  Chain `inner` async dispatches
+        # through a tiny data dependency (bench_config5 pattern) so the
+        # device runs them back-to-back with ONE readback at the end —
+        # same RTT amortization as the in-jit scan without the fault.
+        @jax.jit
+        def run_once(k, images, acc):
+            out = fn(k, images + acc * 0.0)
+            return acc + jnp.sum(out[0].astype(jnp.float32)) * 1e-12
+
+        def chain(n):
+            acc = jnp.float32(0)
+            for i in range(n):
+                acc = run_once(jax.random.fold_in(key, i), images, acc)
+            return float(acc)
+
+        chain(1)  # compile + warmup
+        chain(2)
+        best = float('inf')
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            chain(inner)
+            best = min(best, time.perf_counter() - t0)
+        return b * inner / best, fn.backend
+
     @jax.jit
     def run_many(images):
         def step(c, i):
