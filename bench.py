@@ -295,13 +295,12 @@ def main():
                       'noise_mix_var_all_wavelet'):
             ips, backend = bench_config3(images_f32, noise)
             print(json.dumps(_result(f'{backend} {noise}', ips)))
-        # same mix+wavelet with the counter-hash sampler draws
+        # same mix configs with the counter-hash sampler draws
         # (--fast-rng production knob; labeled separately)
-        ips, backend = bench_config3(images_f32,
-                                     'noise_mix_var_all_wavelet',
-                                     fast_rng=True)
-        print(json.dumps(_result(
-            f'{backend} noise_mix_var_all_wavelet', ips)))
+        for noise in ('noise_mix_var_all_bilateral',
+                      'noise_mix_var_all_wavelet'):
+            ips, backend = bench_config3(images_f32, noise, fast_rng=True)
+            print(json.dumps(_result(f'{backend} {noise}', ips)))
         fps = bench_config4()
         print(json.dumps({
             "metric": "vgg16 faster-rcnn inference 608x1024",
