@@ -130,6 +130,49 @@ def test_brownian_matches_numpy_reference(img_u8):
     assert np.all(out >= img_u8)  # noise is non-negative u8 added
 
 
+def test_fast_bits_elementwise_moments(img_u8):
+    """fast_bits=True reroutes the elementwise generators through the
+    counter-hash bitstream (generators.py salt registry).  Same
+    distributions as the threefry path (moments pinned below), but a
+    DIFFERENT stream — assert both, so a silently-ignored flag or a
+    broken hash path fails loudly."""
+    shape = (64, 96, 3)
+    mid = np.full(shape, 0.5, np.float32)
+
+    out = np.asarray(G.gaussian(KEY, mid, var=0.01, fast_bits=True))
+    slow = np.asarray(G.gaussian(KEY, mid, var=0.01))
+    assert abs(out.std() - 0.1) < 0.005
+    assert abs(out.mean() - 0.5) < 0.005
+    assert not np.allclose(out, slow)
+
+    out = np.asarray(G.speckle(KEY, mid, var=0.04, fast_bits=True))
+    assert abs(out.std() - 0.1) < 0.01  # x + x*n at x=0.5: 0.5*0.2
+
+    x01 = G.to_unit(img_u8)
+    out = np.asarray(G.salt_and_pepper(KEY, x01, 0.4, fast_bits=True))
+    flipped = out != np.asarray(x01)
+    assert abs(flipped.mean() - 0.4) < 0.02
+    ones = (out == 1.0) & flipped
+    assert abs(ones.sum() / flipped.sum() - 0.5) < 0.03
+
+    out = np.asarray(G.uniform_add(KEY, x01, high=1.2, fast_bits=True))
+    d = out - np.asarray(x01)
+    assert d.min() >= 0.0 and d.max() <= 1.2
+    assert abs(d.mean() - 0.6) < 0.02
+
+    zeros = np.zeros(shape, np.float32)
+    out = np.asarray(G.rayleigh_add(KEY, zeros, 0.2, fast_bits=True))
+    m, v = st.rayleigh.stats(scale=0.2, moments='mv')
+    assert abs(out.mean() - m) < 0.01
+    assert abs(out.var() - v) < 0.005
+
+    out = np.asarray(G.brownian(KEY, img_u8, dt=0.9, fast_bits=True))
+    assert out.min() >= 0 and out.max() <= 255
+    assert np.all(out >= img_u8)
+    assert not np.allclose(out, np.asarray(G.brownian(KEY, img_u8,
+                                                      dt=0.9)))
+
+
 def test_periodic_matches_numpy_reference(img_u8):
     h, w, _ = img_u8.shape
     n = img_u8.size

@@ -48,11 +48,27 @@ def to_unit(img_u8: jnp.ndarray) -> jnp.ndarray:
 
 
 # ----------------------------------------------------------- generators ---
+#
+# fast_bits: every stochastic generator takes a `fast_bits` switch that
+# swaps its threefry draws for the counter-hash bitstream of
+# fast_samplers (_u01/_normal) — threefry is ~20+ ALU ops per word and
+# is the dominant cost of the cheap elementwise kinds and of brownian's
+# 5.4M-increment path.  Salts are a module-wide registry so no two
+# draws of one image/key ever share a (salt, counter) pair:
+#   poisson 1/8/16-19, gamma 32-43 (fast_samplers), gaussian 64-65,
+#   speckle 66-67, uniform 68, rayleigh 69, s&p 70-71, brownian 72-73.
+# Streams differ from threefry (parity is distributional — PARITY.md
+# deviation #2); moments are pinned in tests/test_noise.py either way.
 
-def gaussian(key, x01: jnp.ndarray, var: float) -> jnp.ndarray:
+def gaussian(key, x01: jnp.ndarray, var: float,
+             fast_bits: bool = False) -> jnp.ndarray:
     """skimage random_noise(mode='gaussian', var): x + N(0, var), clip [0,1]."""
-    noise = jax.random.normal(key, x01.shape, x01.dtype) * jnp.sqrt(
-        jnp.asarray(var, x01.dtype))
+    if fast_bits:
+        from tpudenoise.noise.fast_samplers import _normal, _seed_from_key
+        noise = _normal(x01.shape, 64, _seed_from_key(key))
+    else:
+        noise = jax.random.normal(key, x01.shape, x01.dtype)
+    noise = noise * jnp.sqrt(jnp.asarray(var, x01.dtype))
     return jnp.clip(x01 + noise, 0.0, 1.0)
 
 
@@ -92,27 +108,44 @@ def poisson(key, x01: jnp.ndarray, img_u8: jnp.ndarray,
 
 
 def salt_and_pepper(key, x01: jnp.ndarray, amount: float,
-                    salt_vs_pepper: float = 0.5) -> jnp.ndarray:
+                    salt_vs_pepper: float = 0.5,
+                    fast_bits: bool = False) -> jnp.ndarray:
     """skimage random_noise(mode='s&p'): flip `amount` fraction of elements
     to 1 (salt, p=salt_vs_pepper) or 0 (pepper), elementwise iid."""
-    k1, k2 = jax.random.split(key)
-    flipped = jax.random.uniform(k1, x01.shape) < amount
-    salted = jax.random.uniform(k2, x01.shape) < salt_vs_pepper
+    if fast_bits:
+        from tpudenoise.noise.fast_samplers import _seed_from_key, _u01
+        seed = _seed_from_key(key)
+        flipped = _u01(x01.shape, 70, seed) < amount
+        salted = _u01(x01.shape, 71, seed) < salt_vs_pepper
+    else:
+        k1, k2 = jax.random.split(key)
+        flipped = jax.random.uniform(k1, x01.shape) < amount
+        salted = jax.random.uniform(k2, x01.shape) < salt_vs_pepper
     out = jnp.where(flipped & salted, 1.0, x01)
     out = jnp.where(flipped & ~salted, 0.0, out)
     return out
 
 
-def speckle(key, x01: jnp.ndarray, var: float) -> jnp.ndarray:
+def speckle(key, x01: jnp.ndarray, var: float,
+            fast_bits: bool = False) -> jnp.ndarray:
     """skimage random_noise(mode='speckle', var): x + x*N(0,var), clip."""
-    noise = jax.random.normal(key, x01.shape, x01.dtype) * jnp.sqrt(
-        jnp.asarray(var, x01.dtype))
+    if fast_bits:
+        from tpudenoise.noise.fast_samplers import _normal, _seed_from_key
+        noise = _normal(x01.shape, 66, _seed_from_key(key))
+    else:
+        noise = jax.random.normal(key, x01.shape, x01.dtype)
+    noise = noise * jnp.sqrt(jnp.asarray(var, x01.dtype))
     return jnp.clip(x01 + x01 * noise, 0.0, 1.0)
 
 
-def uniform_add(key, x01: jnp.ndarray, high: float) -> jnp.ndarray:
+def uniform_add(key, x01: jnp.ndarray, high: float,
+                fast_bits: bool = False) -> jnp.ndarray:
     """U(0, high) added to the float image — NO clip (cv2.add on float64
     does not saturate; ref test.py:771-903)."""
+    if fast_bits:
+        from tpudenoise.noise.fast_samplers import _seed_from_key, _u01
+        u = _u01(x01.shape, 68, _seed_from_key(key)) * high
+        return x01 + u
     return x01 + jax.random.uniform(key, x01.shape, x01.dtype, 0.0, high)
 
 
@@ -128,11 +161,16 @@ def gamma_add(key, x01: jnp.ndarray, scale: float,
     return x01 + g
 
 
-def rayleigh_add(key, x01: jnp.ndarray, scale: float) -> jnp.ndarray:
+def rayleigh_add(key, x01: jnp.ndarray, scale: float,
+                 fast_bits: bool = False) -> jnp.ndarray:
     """scipy.stats.rayleigh.rvs(scale) added, no clip (ref test.py:1439-1572).
     Rayleigh via inverse CDF: scale * sqrt(-2 ln U)."""
-    u = jax.random.uniform(key, x01.shape, x01.dtype,
-                           jnp.finfo(x01.dtype).tiny, 1.0)
+    if fast_bits:
+        from tpudenoise.noise.fast_samplers import _seed_from_key, _u01
+        u = _u01(x01.shape, 69, _seed_from_key(key))  # (0,1): log-safe
+    else:
+        u = jax.random.uniform(key, x01.shape, x01.dtype,
+                               jnp.finfo(x01.dtype).tiny, 1.0)
     r = scale * jnp.sqrt(-2.0 * jnp.log(u))
     return x01 + r
 
@@ -153,7 +191,8 @@ def _valid_raster(shape, hw):
     return idx, valid, h * w * C
 
 
-def brownian(key, img_u8: jnp.ndarray, dt: float, hw=None) -> jnp.ndarray:
+def brownian(key, img_u8: jnp.ndarray, dt: float, hw=None,
+             fast_bits: bool = False) -> jnp.ndarray:
     """Brownian path over all pixels: B = cumsum(sqrt(dt)*N(0,1)) reshaped to
     (H, W, 3); noise_u8 = wrap_cast(B*255); out = cv2.add(img, noise) which
     saturates (ref test.py:905-1126).  The cumsum runs over H*W*3 elements in
@@ -166,8 +205,12 @@ def brownian(key, img_u8: jnp.ndarray, dt: float, hw=None) -> jnp.ndarray:
     on a static shape (the normal stream layout differs unless the pad is
     rows-only)."""
     n = img_u8.size
-    db = jax.random.normal(key, (n,), jnp.float32) * jnp.sqrt(
-        jnp.asarray(dt, jnp.float32))
+    if fast_bits:
+        from tpudenoise.noise.fast_samplers import _normal, _seed_from_key
+        db = _normal((n,), 72, _seed_from_key(key))
+    else:
+        db = jax.random.normal(key, (n,), jnp.float32)
+    db = db * jnp.sqrt(jnp.asarray(dt, jnp.float32))
     if hw is not None:
         _, valid, _ = _valid_raster(img_u8.shape, hw)
         db = jnp.where(valid.reshape(-1), db, 0.0)

@@ -72,8 +72,9 @@ def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
     collapses same-kind entries into one branch with the level as data
     (see _group_specs), so the 38-entry tables compile ~14 branches.
 
-    fast_bits: counter-hash draws for the sampler-heavy kinds
-    (poisson/gamma — see fast_samplers module doc)."""
+    fast_bits: counter-hash draws for every stochastic kind (the
+    sampler-heavy poisson/gamma AND the elementwise threefry draws —
+    see the generators salt registry / fast_samplers module doc)."""
     x01 = G.to_unit(img_u8)
     k = spec.kind
     lvl = spec.level if level is None else level
@@ -84,21 +85,23 @@ def _noisy_float(spec: NoiseSpec, key, img_u8: jnp.ndarray, hw=None,
             var = jnp.asarray(GAUSSIAN_RANDOM_LEVELS)[idx]
         else:
             kn, var = key, lvl
-        return G.gaussian(kn, x01, var), 'unit'
+        return G.gaussian(kn, x01, var, fast_bits=fast_bits), 'unit'
     if k == Kind.POISSON:
         return G.poisson(key, x01, img_u8, fast_bits=fast_bits), 'unit'
     if k == Kind.SAP:
-        return G.salt_and_pepper(key, x01, lvl), 'unit'
+        return G.salt_and_pepper(key, x01, lvl,
+                                 fast_bits=fast_bits), 'unit'
     if k == Kind.SPECKLE:
-        return G.speckle(key, x01, lvl), 'unit'
+        return G.speckle(key, x01, lvl, fast_bits=fast_bits), 'unit'
     if k == Kind.UNIFORM:
-        return G.uniform_add(key, x01, lvl), 'unit'
+        return G.uniform_add(key, x01, lvl, fast_bits=fast_bits), 'unit'
     if k == Kind.GAMMA:
         return G.gamma_add(key, x01, lvl, fast_bits=fast_bits), 'unit'
     if k == Kind.RAYLEIGH:
-        return G.rayleigh_add(key, x01, lvl), 'unit'
+        return G.rayleigh_add(key, x01, lvl, fast_bits=fast_bits), 'unit'
     if k == Kind.BROWNIAN:
-        return G.brownian(key, img_u8, lvl, hw=hw), 'u8'
+        return G.brownian(key, img_u8, lvl, hw=hw,
+                          fast_bits=fast_bits), 'u8'
     if k == Kind.PERIODIC:
         return G.periodic(key, img_u8, lvl, hw=hw), 'u8'
     if k == Kind.QUANT:
@@ -338,11 +341,13 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
     statistics.  Default None = auto: Pallas on TPU, XLA elsewhere — this
     is what the production call sites (Solver, eval harness) use.
 
-    fast_rng swaps the sampler-heavy generators' (poisson/gamma) threefry
-    draws for a splitmix counter-hash bitstream (fast_samplers._u01 — the
+    fast_rng swaps EVERY stochastic generator's threefry draws for a
+    splitmix counter-hash bitstream (fast_samplers._u01/_normal — the
     same stream-trade as the fused Pallas kernels' coordinate-hash RNG;
-    ~9 vs ~20+ ALU ops per word, and those two branches draw 11-12 fields
-    per image).  Distribution unchanged (chi-square/KS-pinned), stream
+    ~9 vs ~20+ ALU ops per word): the sampler-heavy poisson/gamma (11-12
+    fields per image) plus the elementwise gaussian/speckle/uniform/
+    rayleigh/s&p fields and brownian's full-raster increment draw.
+    Distribution unchanged (chi-square/KS/moment-pinned), stream
     differs.  Default None = OFF: the XLA threefry path is the semantics
     reference, and the recorded noise-grid baseline (RESULTS.md) pins its
     stream.  [An earlier fast_rng=rbg-hardware-keys experiment was
