@@ -80,6 +80,36 @@ def test_batched_matches_sequential(env):
     assert total == 0 or matched / total >= 0.85, (matched, total)
 
 
+def test_fast_rng_flag_through_batched_eval(env):
+    """--fast-rng must thread from the harness entry point into the
+    noise pipeline (counter-hash draws) and produce a complete eval:
+    same detection count structure as the threefry run, different noise
+    stream (rayleigh draws differ), finite boxes."""
+    import os.path as osp
+    import pickle
+
+    import jax
+    from tpudenoise.core.config import get_output_dir
+    from tpudenoise.data.voc_like import rrData
+    from tpudenoise.eval.harness import test_net_batched
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    cfg = env
+    m = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
+    params = m.init(jax.random.PRNGKey(0), image_shape=(160, 224))
+
+    d = rrData('test', '2021', config=cfg)
+    d.competition_mode(True)
+    test_net_batched(m, params, d, 'frng', 'rayleigh_var0.2',
+                     eval_batch=3, config=cfg, bucket=(160, 224),
+                     fast_rng=True)
+    dets = pickle.load(open(osp.join(
+        get_output_dir(d.name, 'frng', cfg), 'detections.pkl'), 'rb'))
+    assert len(dets) == 2 and len(dets[1]) == 5
+    for i in range(5):
+        a = np.asarray(dets[1][i])
+        assert a.size == 0 or np.isfinite(a).all()
+
+
 def test_device_prep_exact_at_unit_scale(env):
     """At scale == 1 (the rrData production geometry) the device prep's
     resize weights are exact one-hots — sequential-vs-batched parity is
