@@ -68,8 +68,11 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
         d2 = jnp.minimum(d2, jnp.sum((points - c) ** 2, axis=-1))
         return (centers, d2, key), None
 
+    # unroll: the init/Lloyd bodies are tiny (8k-point ops), so the scan
+    # is sequential-step-overhead-bound on TPU; unrolling lets XLA fuse
+    # consecutive steps (identical math and stream)
     (centers, _, key), _ = jax.lax.scan(
-        init_step, (centers0, d2_0, key), jnp.arange(1, k))
+        init_step, (centers0, d2_0, key), jnp.arange(1, k), unroll=3)
 
     # --- Lloyd iterations: assignment via matmul (MXU), update via
     # segment-sum ---
@@ -88,7 +91,8 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
         new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
         return new_centers, None
 
-    centers, _ = jax.lax.scan(lloyd, centers, None, length=iters)
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=iters,
+                              unroll=5)
     # final assignment over ALL points (fit may have been subsampled)
     ax2 = jnp.sum(all_points ** 2, axis=-1, keepdims=True)
     c2 = jnp.sum(centers ** 2, axis=-1)
