@@ -123,8 +123,12 @@ def quantize_colors(key, img_u8: jnp.ndarray, k: int,
         centers, labels = kmeans(key, pts, k=k, iters=iters,
                                  sample_idx=ys * w + xs)
     centers_u8 = jnp.trunc(jnp.clip(centers, 0.0, 255.0))
-    # palette map as one-hot matmul, not centers_u8[labels]: a 600k-row
+    # LAB->BGR commutes with the palette lookup (elementwise on k
+    # distinct colors), so convert the (k, 3) centers, not the (H, W, 3)
+    # palette image — drops a full-image transcendental pass,
+    # bit-identical output
+    bgr_centers = lab_u8_to_bgr_u8(centers_u8)
+    # palette map as one-hot matmul, not bgr_centers[labels]: a 600k-row
     # gather costs ~30 ms on v5e, the (N, k) @ (k, 3) matmul is free
     onehot = jax.nn.one_hot(labels, k, dtype=jnp.float32)
-    quant = (onehot @ centers_u8).reshape(h, w, 3)
-    return lab_u8_to_bgr_u8(quant)
+    return (onehot @ bgr_centers).reshape(h, w, 3)
