@@ -356,9 +356,11 @@ def test_gamma_fixed_fast_bits_ks():
 
 
 def test_pipeline_fast_rng_moments():
-    """make_pipeline(fast_rng=True) reroutes poisson/gamma through the
-    hash bitstream: outputs keep the right distribution (moments) and
-    differ streamwise from the threefry path."""
+    """make_pipeline(fast_rng=True) reroutes the stochastic generators
+    through the hash bitstream (spot-checked here on the sampler-heavy
+    poisson/gamma; the elementwise kinds are covered by
+    test_fast_bits_elementwise_moments): outputs keep the right
+    distribution (moments) and differ streamwise from threefry."""
     import jax
     import jax.numpy as jnp
     from tpudenoise.noise.pipeline import make_pipeline

@@ -36,9 +36,9 @@ def parse_args(argv=None):
                    help='capture a jax.profiler trace of the eval into '
                         'DIR (view in TensorBoard/Perfetto)')
     p.add_argument('--fast-rng', action='store_true',
-                   help='counter-hash bitstream draws for the poisson/'
-                        'gamma noise samplers (faster; different stream,'
-                        ' same distribution)')
+                   help='counter-hash bitstream draws for every '
+                        'stochastic noise generator (faster; different '
+                        'stream, same distribution)')
     p.add_argument('--host-prep', action='store_true',
                    help='use the host cv2.resize prep instead of the '
                         'on-device bilinear prep (batched eval only)')

@@ -40,9 +40,9 @@ def parse_args(argv=None):
                    help='disable the threaded JPEG-decode prefetch '
                         '(exact-resume-safe, on by default)')
     p.add_argument('--fast-rng', action='store_true',
-                   help='counter-hash bitstream draws for the poisson/'
-                        'gamma noise samplers (faster; different stream,'
-                        ' same distribution)')
+                   help='counter-hash bitstream draws for every '
+                        'stochastic noise generator (faster; different '
+                        'stream, same distribution)')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None, help='set config keys')
     return p.parse_args(argv)
