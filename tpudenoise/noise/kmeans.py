@@ -20,7 +20,7 @@ from tpudenoise.ops.color import bgr_u8_to_lab_u8, lab_u8_to_bgr_u8
 
 
 @functools.partial(jax.jit, static_argnames=('k', 'iters', 'sample'))
-def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
+def kmeans(key, points: jnp.ndarray, k: int, iters: int = 15,
            sample: int = 8192, sample_idx=None):
     """Mini-batch k-means with k-means++ init.
 
@@ -31,6 +31,11 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
     same estimator family as the reference's sklearn MiniBatchKMeans
     (which fits on 1024-point batches, ref test.py:592-765) at a
     fraction of the full-batch cost; sample=0 forces full-batch Lloyd.
+    iters=15: inertia on the bundled demo photos (LAB space, k in
+    {3,7,10}) is within <1%% of iters=25 and of sklearn
+    MiniBatchKMeans — full-batch Lloyd on 8k points converges fast;
+    halving the sample (4096) did cost 4-5%% on some images, so the
+    fit-set size stays.
 
     sample_idx: optional precomputed (S,) fit-subsample indices — used by
     the bucketed path to draw the fit set from the VALID region only
@@ -102,7 +107,7 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 25,
 
 
 def quantize_colors(key, img_u8: jnp.ndarray, k: int,
-                    iters: int = 25, hw=None) -> jnp.ndarray:
+                    iters: int = 15, hw=None) -> jnp.ndarray:
     """The 'quant' noise: BGR->LAB, k-means palette, truncate centers to u8,
     palette-map every pixel, LAB->BGR (ref test.py:594-765: centers cast via
     .astype('uint8') — truncation, preserved).
