@@ -104,3 +104,27 @@ def test_dp_inference_runs():
             raise AssertionError(r.stderr[-2000:])
     pytest.skip('CPU-collective rendezvous aborted twice under load '
                 f'(environmental): {(last.stderr or "")[-300:]}')
+
+
+def test_initialize_distributed_plumbing(monkeypatch):
+    """--distributed wires jax.distributed.initialize (SURVEY §5 multi-host
+    bring-up).  No cluster here: pin the forwarding contract and the CLI
+    flag, not an actual rendezvous."""
+    import jax
+    from tpudenoise.core import mesh as M
+    calls = {}
+
+    def fake_init(coordinator_address=None, num_processes=None,
+                  process_id=None):
+        calls.update(coordinator=coordinator_address,
+                     num_processes=num_processes, process_id=process_id)
+
+    monkeypatch.setattr(jax.distributed, 'initialize', fake_init)
+    assert M.initialize_distributed('host:1234', 4, 2) is True
+    assert calls == {'coordinator': 'host:1234', 'num_processes': 4,
+                     'process_id': 2}
+
+    from tpudenoise.cli.test import parse_args as pa_test
+    from tpudenoise.cli.trainval import parse_args as pa_train
+    assert pa_train(['--distributed', '--imdb', 'x']).distributed
+    assert pa_test(['--distributed', '--model', 'x']).distributed

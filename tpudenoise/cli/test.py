@@ -46,6 +46,11 @@ def parse_args(argv=None):
                    help='>1 evaluates in vmapped batches (same results, '
                         'full chip occupancy; the reference is strictly '
                         'one image per step)')
+    p.add_argument('--distributed', action='store_true',
+                   help='multi-host pod bring-up: call '
+                        'jax.distributed.initialize (cluster '
+                        'auto-detection) before anything else; the '
+                        'production mesh then spans the whole slice')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None)
     return p.parse_args(argv)
@@ -79,6 +84,9 @@ def load_params(model, model_path, net, key, image_shape=(608, 1024)):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        from tpudenoise.core.mesh import initialize_distributed
+        initialize_distributed()
     from tpudenoise.core.config import cfg, cfg_from_file, cfg_from_list
     from tpudenoise.data.factory import get_imdb
     from tpudenoise.eval.harness import test_net

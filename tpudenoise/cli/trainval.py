@@ -43,6 +43,11 @@ def parse_args(argv=None):
                    help='counter-hash bitstream draws for every '
                         'stochastic noise generator (faster; different '
                         'stream, same distribution)')
+    p.add_argument('--distributed', action='store_true',
+                   help='multi-host pod bring-up: call '
+                        'jax.distributed.initialize (cluster '
+                        'auto-detection) before anything else; the '
+                        'production mesh then spans the whole slice')
     p.add_argument('--set', dest='set_cfgs', nargs=argparse.REMAINDER,
                    default=None, help='set config keys')
     return p.parse_args(argv)
@@ -50,6 +55,9 @@ def parse_args(argv=None):
 
 def main(argv=None):
     args = parse_args(argv)
+    if args.distributed:
+        from tpudenoise.core.mesh import initialize_distributed
+        initialize_distributed()
     from tpudenoise.core.config import (cfg, cfg_from_file, cfg_from_list,
                                         get_output_dir, get_output_tb_dir)
     from tpudenoise.data.roidb import combined_roidb

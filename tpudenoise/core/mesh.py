@@ -14,6 +14,28 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(coordinator: str | None = None,
+                           num_processes: int | None = None,
+                           process_id: int | None = None) -> bool:
+    """Multi-host bring-up (SURVEY.md §5: the TPU-native replacement for
+    a communication backend the reference never had).  Call ONCE per
+    host process, before any other jax call, on every host of a
+    multi-host pod slice; afterwards `jax.devices()` spans the slice and
+    `make_mesh`/`production_mesh` lay the global mesh over it (XLA
+    collectives ride ICI within the slice).
+
+    With no arguments this defers to `jax.distributed.initialize()`'s
+    cluster auto-detection (TPU pod metadata); explicit
+    coordinator/num_processes/process_id serve non-auto environments.
+    Returns True when distributed mode was initialized.  Single-host
+    runs (this repo's test/dev environment) never need it — the CLIs
+    call this only behind `--distributed`."""
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
+
+
 def make_mesh(mesh_shape=None, axis_names=None, devices=None) -> Mesh:
     """Build a Mesh.  mesh_shape entries of -1 absorb remaining devices."""
     devices = devices if devices is not None else jax.devices()
