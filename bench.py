@@ -104,9 +104,12 @@ def bench_config3(images_f32, noise, inner=4, reps=3, fast_rng=False):
     b = images.shape[0]
 
     if fast_rng:
-        # An OUTER lax.scan around a fast_rng (hardware-RNG-keyed) mix
-        # program faults the TPU worker (~30-40 min recovery); plain
-        # per-batch dispatches are fine.  Chain `inner` async dispatches
+        # An OUTER lax.scan around the fast_rng mix program faulted the
+        # TPU worker (~30-40 min recovery) during the removed
+        # rbg-hardware-keys experiment (see make_pipeline docstring);
+        # today's splitmix counter-hash path is NOT known to fault, but
+        # chained plain dispatches measure identically (one readback),
+        # so stay on the proven-safe shape.  Chain `inner` dispatches
         # through a tiny data dependency (bench_config5 pattern) so the
         # device runs them back-to-back with ONE readback at the end —
         # same RTT amortization as the in-jit scan without the fault.

@@ -34,9 +34,10 @@ def main():
 
     def timeit(fn):
         if fast:
-            # An OUTER lax.scan around a fast_rng program faults the TPU
-            # worker (see bench.bench_config3); chain plain dispatches
-            # through a tiny data dependency instead, one readback.
+            # Outer-scan-around-fast_rng faulted the TPU worker during
+            # the removed rbg experiment (see bench.bench_config3 for
+            # the full story); chained plain dispatches measure the
+            # same and stay on the proven-safe shape.
             @jax.jit
             def run_once(k, images, acc):
                 out = fn(k, images + acc * 0.0)

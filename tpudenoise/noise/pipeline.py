@@ -323,7 +323,8 @@ def _pallas_bilateral_pipeline(specs, n_stages: int,
 
     run.keyed = run_keyed
     run.masked = run_masked
-    run.backend = f'pallas:bilateral_x{n_stages}'
+    run.backend = (f'pallas:bilateral_x{n_stages}'
+                   + ('+fast_rng' if fast_bits else ''))
     return run
 
 
@@ -469,7 +470,8 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                                                Denoise.BILATERAL)
                 and plan.post_denoise in (Denoise.NONE,
                                           Denoise.BILATERAL)):
-            return _pallas_bilateral_pipeline((s,), bilateral_stages)
+            return _pallas_bilateral_pipeline((s,), bilateral_stages,
+                                              fast_bits)
 
     if use_pallas and len(specs) > 1:
         # mixed-noise batch + bilateral post-pass (BASELINE.json config 3
