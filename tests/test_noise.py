@@ -379,3 +379,29 @@ def test_pipeline_fast_rng_moments():
                                    rtol=0.02, atol=0.5)
         np.testing.assert_allclose((b - img).std(), (a - img).std(),
                                    rtol=0.05, atol=0.5)
+
+
+def test_kmeans_palette_quality_vs_sklearn():
+    """The quant palette fit (k-means++ init + 15 Lloyd iterations on an
+    8192-point subsample) must stay within 10% of sklearn
+    MiniBatchKMeans inertia on a real photo in LAB space — the
+    data-driven basis for the iters=25->15 trim (kmeans.py docstring)."""
+    import cv2
+    from sklearn.cluster import MiniBatchKMeans
+
+    from tpudenoise.noise.kmeans import kmeans
+    from tpudenoise.ops.color import bgr_u8_to_lab_u8
+    img = cv2.imread('data/demo/000456.jpg').astype(np.float32)
+    lab = np.asarray(bgr_u8_to_lab_u8(jax.numpy.asarray(img)))
+    pts = lab.reshape(-1, 3)
+    sub = pts[np.random.RandomState(0).randint(0, len(pts), 20000)]
+
+    def inertia(centers):
+        d = ((sub[:, None, :] - centers[None]) ** 2).sum(-1)
+        return float(d.min(1).mean())
+
+    for k in (3, 7, 10):
+        ref = inertia(MiniBatchKMeans(n_clusters=k, random_state=3,
+                                      n_init=3).fit(sub).cluster_centers_)
+        c, _ = kmeans(KEY, jax.numpy.asarray(pts), k=k)
+        assert inertia(np.asarray(c)) <= 1.10 * ref, k
