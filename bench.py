@@ -104,33 +104,11 @@ def bench_config3(images_f32, noise, inner=4, reps=3, fast_rng=False):
     b = images.shape[0]
 
     if fast_rng:
-        # An OUTER lax.scan around the fast_rng mix program faulted the
-        # TPU worker (~30-40 min recovery) during the removed
-        # rbg-hardware-keys experiment (see make_pipeline docstring);
-        # today's splitmix counter-hash path is NOT known to fault, but
-        # chained plain dispatches measure identically (one readback),
-        # so stay on the proven-safe shape.  Chain `inner` dispatches
-        # through a tiny data dependency (bench_config5 pattern) so the
-        # device runs them back-to-back with ONE readback at the end —
-        # same RTT amortization as the in-jit scan without the fault.
-        @jax.jit
-        def run_once(k, images, acc):
-            out = fn(k, images + acc * 0.0)
-            return acc + jnp.sum(out[0].astype(jnp.float32)) * 1e-12
-
-        def chain(n):
-            acc = jnp.float32(0)
-            for i in range(n):
-                acc = run_once(jax.random.fold_in(key, i), images, acc)
-            return float(acc)
-
-        chain(1)  # compile + warmup
-        chain(2)
-        best = float('inf')
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            chain(inner)
-            best = min(best, time.perf_counter() - t0)
+        # fast_rng timing must avoid the outer-scan shape (see
+        # benchmarks/_timing.py for the fault story and recipe)
+        from benchmarks._timing import time_chained_dispatches
+        best = time_chained_dispatches(fn, key, images, inner, reps=reps,
+                                       readout_scale=1e-12)
         return b * inner / best, fn.backend
 
     @jax.jit
@@ -263,9 +241,12 @@ def bench_config6(shape=(600, 1000), batch=8, inner=3, reps=3,
 
     def run(n):
         acc = jnp.float32(0)
-        for _ in range(n):
-            _, s, _ = chunk(jax.random.fold_in(key, acc.astype(jnp.int32)),
-                            idx, raw + acc, info)
+        for i in range(n):
+            # fold the chain index (the ~1e-9-scaled acc truncates to 0
+            # as int32, which would time identical-key programs); acc
+            # still rides the image input as the serializing data dep
+            _, s, _ = chunk(jax.random.fold_in(key, i), idx, raw + acc,
+                            info)
             acc = jnp.sum(jnp.where(jnp.isfinite(s), s, 0.0)) * 1e-9
         return float(acc)
 

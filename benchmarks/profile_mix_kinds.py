@@ -32,32 +32,15 @@ def main():
         rng.randint(0, 256, (b, h, w, 3)).astype(np.float32)))
     key = jax.random.PRNGKey(3)
 
+    from benchmarks._timing import (ms_per_item_minus_rtt,
+                                    time_chained_dispatches)
+
     def timeit(fn):
         if fast:
-            # Outer-scan-around-fast_rng faulted the TPU worker during
-            # the removed rbg experiment (see bench.bench_config3 for
-            # the full story); chained plain dispatches measure the
-            # same and stay on the proven-safe shape.
-            @jax.jit
-            def run_once(k, images, acc):
-                out = fn(k, images + acc * 0.0)
-                return acc + jnp.sum(out[0].astype(jnp.float32)) * 1e-9
-
-            def run_chain():
-                acc = jnp.float32(0)
-                for i in range(inner):
-                    acc = run_once(jax.random.fold_in(key, i), images,
-                                   acc)
-                return float(acc)
-
-            run_chain()
-            run_chain()
-            best = float('inf')
-            for _ in range(3):
-                t0 = time.perf_counter()
-                run_chain()
-                best = min(best, time.perf_counter() - t0)
-            return (best * 1000 - 31.0) / (b * inner)
+            # fast_rng must avoid the outer-scan shape (fault story and
+            # recipe live in benchmarks/_timing.py)
+            best = time_chained_dispatches(fn, key, images, inner)
+            return ms_per_item_minus_rtt(best, b * inner)
 
         @jax.jit
         def run_many(images):
@@ -77,7 +60,7 @@ def main():
             float(run_many(images))
             best = min(best, time.perf_counter() - t0)
         # one blocking readback per run costs the ~31 ms tunnel RTT
-        return (best * 1000 - 31.0) / (b * inner)  # ms per image, real
+        return ms_per_item_minus_rtt(best, b * inner)  # ms/image, real
 
     print(f'geometry {h}x{w} batch {b} fast_rng={fast}', flush=True)
     for kind in KINDS:

@@ -405,3 +405,30 @@ def test_kmeans_palette_quality_vs_sklearn():
                                       n_init=3).fit(sub).cluster_centers_)
         c, _ = kmeans(KEY, jax.numpy.asarray(pts), k=k)
         assert inertia(np.asarray(c)) <= 1.10 * ref, k
+
+
+def test_hash_words_uses_full_64bit_seed():
+    """Seed pairs that collide under the old initial-stage fold
+    (s0*0xC2B2AE35 ^ s1*0x27D4EB2F equal) must now produce different
+    streams: the 64-bit key's collision protection is only real if no
+    32-bit linear combination of the words determines the output."""
+    import jax.numpy as jnp
+    from tpudenoise.noise.fast_samplers import _hash_words
+
+    s0a, s1a = np.uint32(0x12345678), np.uint32(0x9ABCDEF0)
+    # pick (s0b, s1b) != (s0a, s1a) with the same folded word:
+    # changing s0 by d shifts the fold by d*C3; compensate via s1
+    C3, C4 = 0xC2B2AE35, 0x27D4EB2F
+    inv_C4 = pow(C4, -1, 2**32)
+    s0b = np.uint32((int(s0a) + 1) & 0xFFFFFFFF)
+    fold_a = (int(s0a) * C3 ^ int(s1a) * C4) & 0xFFFFFFFF
+    # solve s1b * C4 = fold_a ^ s0b*C3 (mod 2^32; C4 odd => invertible)
+    want = fold_a ^ ((int(s0b) * C3) & 0xFFFFFFFF)
+    s1b = np.uint32((want * inv_C4) & 0xFFFFFFFF)
+    # sanity: the OLD fold really collides for this pair
+    fold_b = (int(s0b) * C3 ^ int(s1b) * C4) & 0xFFFFFFFF
+    assert fold_a == fold_b and (s0a, s1a) != (s0b, s1b)
+
+    ha = np.asarray(_hash_words((4096,), 7, jnp.asarray([s0a, s1a])))
+    hb = np.asarray(_hash_words((4096,), 7, jnp.asarray([s0b, s1b])))
+    assert (ha != hb).mean() > 0.99  # streams fully decorrelated

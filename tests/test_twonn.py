@@ -177,3 +177,17 @@ def test_probe_fn_padded_vs_unpadded_vgg():
         # and strictly better than pooling the full padded map
         c = np.asarray(pa_full[p])
         assert np.abs(b - a).max() < np.abs(c - a).max(), p
+
+
+def test_infer_stride_non_divisible_extents():
+    """Stride inference from SAME-padded extents must survive inputs not
+    divisible by the cumulative stride: ceil(600/16) = 38 rows, and the
+    old floor derivation 600 // 38 = 15 overestimated the valid extent
+    (ceil(300/15) = 20 rows vs the true ceil(300/16) = 19), letting
+    zero-pad rows back into the grid-pooled ID features on custom
+    buckets."""
+    from tpudenoise.analysis.twonn import _infer_stride
+    for n_in, s in [(600, 16), (100, 16), (1000, 16), (608, 16),
+                    (600, 32), (97, 8), (64, 1), (50, 2), (123, 4)]:
+        n_out = -(-n_in // s)
+        assert _infer_stride(n_in, n_out) == s, (n_in, s)

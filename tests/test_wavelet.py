@@ -142,3 +142,65 @@ def test_band_matrices_match_slice_formulation():
                          precision=jax.lax.Precision.HIGHEST)
         np.testing.assert_allclose(np.asarray(y_m), np.asarray(y_r),
                                    atol=2e-6)
+
+
+def test_masked_stats_match_exact_size_interior():
+    """Bucketed-eval correctness: on an edge-replicate-padded canvas the
+    BayesShrink statistics must mask to the valid region.  Without the
+    mask the pad's near-zero detail coefficients collapse the sigma
+    median and the pass silently becomes a no-op (the ref computes all
+    statistics at the exact image size, test.py:197-289)."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(0)
+    h, w = 96, 144
+    bkt = (160, 224)
+    yy, xx = np.mgrid[0:h, 0:w]
+    clean = (0.5 + 0.3 * np.sin(yy / 17.0) * np.cos(xx / 23.0))
+    clean = np.stack([clean] * 3, -1).astype(np.float32)
+    img = (clean + rng.normal(0, 0.08, (h, w, 3))).astype(np.float32)
+    pad = np.pad(img, ((0, bkt[0] - h), (0, bkt[1] - w), (0, 0)),
+                 mode='edge')
+
+    lv = W.default_levels(h, w)
+    exact = np.asarray(W.denoise_wavelet(jnp.asarray(img), levels=lv))
+    masked = np.asarray(W.denoise_wavelet(
+        jnp.asarray(pad), levels=lv,
+        hw=jnp.asarray([h, w], jnp.int32)))[:h, :w]
+    unmasked = np.asarray(W.denoise_wavelet(jnp.asarray(pad),
+                                            levels=lv))[:h, :w]
+
+    m = 16
+    sl = (slice(m, h - m), slice(m, w - m))
+    err_masked = np.abs(masked[sl] - exact[sl]).max()
+    err_unmasked = np.abs(unmasked[sl] - exact[sl]).max()
+    # calibrated: 0.025 vs 0.319 (the unmasked pass returns the noisy
+    # input unchanged)
+    assert err_masked < 0.05
+    assert err_unmasked > 5 * err_masked
+    # the masked pass actually denoises; the unmasked one did nothing
+    assert (np.abs(masked[sl] - clean[sl]).mean()
+            < 0.7 * np.abs(img[sl] - clean[sl]).mean())
+    assert np.abs(unmasked - img).max() < 1e-5
+
+    # the batched planar entry matches the per-image masked path exactly
+    mb = np.asarray(W.denoise_wavelet_batched(
+        jnp.asarray(pad)[None], levels=lv,
+        hw=jnp.asarray([[h, w]], jnp.int32)))[0, :h, :w]
+    np.testing.assert_array_equal(mb, masked)
+
+
+def test_masked_median_matches_subset_median():
+    """_median_nonneg_masked == jnp.median over the valid prefix, for odd
+    and even valid counts, with garbage in the pad tail."""
+    import jax.numpy as jnp
+    rng = np.random.RandomState(1)
+    n = 64
+    for nv in (33, 34, 63, 64, 1, 2):
+        x = rng.rand(3, n).astype(np.float32)
+        mask = np.zeros((3, n), bool)
+        mask[:, :nv] = True
+        got = np.asarray(W._median_nonneg_masked(
+            jnp.asarray(x), jnp.asarray(mask),
+            jnp.full((3,), nv, np.int32)))
+        want = np.median(x[:, :nv], axis=-1)
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)

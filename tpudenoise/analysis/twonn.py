@@ -15,6 +15,7 @@ distance matrix is one x.xT MXU matmul); the tiny regression is closed-form
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -171,6 +172,16 @@ def _grid_pool_dyn(feat: jnp.ndarray, hw, grid: int) -> jnp.ndarray:
     return (sums / counts).reshape(-1)
 
 
+def _infer_stride(n_in: int, n_out: int) -> int:
+    """Cumulative SAME-padding stride from static extents, where
+    n_out = ceil(n_in / s).  Floor division underestimates s whenever
+    n_in % s != 0 (a 600-row input's stride-16 map has ceil(600/16) = 38
+    rows and 600 // 38 = 15, which would let zero-pad rows back into the
+    masked pool); every backbone stride here is a power of two, so round
+    in log space — exact for any n_out >= 4."""
+    return 1 << round(math.log2(n_in / n_out))
+
+
 def make_probe_fn(model, grid: int = 4):
     """Jitted per-layer activation collector for the ID study.
 
@@ -201,7 +212,8 @@ def make_probe_fn(model, grid: int = 4):
             if hw is None:
                 return jax.vmap(lambda f: _grid_pool(f, grid))(arr)
             # SAME-padded stride chain: layer extent = ceil(valid / s)
-            sy, sx = h_in // arr.shape[1], w_in // arr.shape[2]
+            sy = _infer_stride(h_in, arr.shape[1])
+            sx = _infer_stride(w_in, arr.shape[2])
             hw_l = jnp.stack([-(-hw[:, 0] // sy), -(-hw[:, 1] // sx)],
                              axis=1)
             return jax.vmap(

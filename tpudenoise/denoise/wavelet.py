@@ -273,6 +273,41 @@ def _median_nonneg(x: jnp.ndarray) -> jnp.ndarray:
     return 0.5 * (m1 + m2)
 
 
+def _median_nonneg_masked(x: jnp.ndarray, mask: jnp.ndarray,
+                          nv: jnp.ndarray) -> jnp.ndarray:
+    """Masked variant of _median_nonneg: per-row median over the `mask`
+    entries only (nv = per-row valid count, traced).  Invalid entries are
+    forced to the max-finite bit pattern so they rank above every valid
+    value; the rank k becomes per-row traced data (the bit-prefix count
+    compare broadcasts over it).  Used by the bucketed eval path where the
+    sigma estimate must ignore pad-region coefficients."""
+    p, n = x.shape
+    xi = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    xi = jnp.where(mask, xi, jnp.int32(0x7f7fffff))
+    k1 = (nv - 1) // 2                                    # (P,) traced
+
+    def kth(k):
+        def body(b, v):
+            c = v | (jnp.int32(1) << b)
+            cnt = jnp.sum((xi < c[:, None]), axis=-1)
+            return jnp.where(cnt <= k, c, v)
+        v = jnp.zeros((p,), jnp.int32)
+        for b in range(30, -1, -1):
+            v = body(jnp.int32(b), v)
+        return v
+
+    v1 = kth(k1)
+    m1 = jax.lax.bitcast_convert_type(v1, jnp.float32)
+    # even nv: average with the next order statistic (same dup logic as
+    # _median_nonneg, restricted to valid entries via the sentinel)
+    has_dup = jnp.sum((xi <= v1[:, None]), axis=-1) > (k1 + 1)
+    bigger = jnp.where(xi > v1[:, None], xi, jnp.int32(0x7f7fffff))
+    v2 = jnp.min(bigger, axis=-1)
+    m2 = jnp.where(has_dup, m1,
+                   jax.lax.bitcast_convert_type(v2, jnp.float32))
+    return jnp.where(nv % 2 == 1, m1, 0.5 * (m1 + m2))
+
+
 def _soft(d: jnp.ndarray, t) -> jnp.ndarray:
     return jnp.sign(d) * jnp.maximum(jnp.abs(d) - t, 0.0)
 
@@ -300,37 +335,98 @@ def denoise_channel(x: jnp.ndarray, levels: int) -> jnp.ndarray:
     return waverec2(a, new_coeffs, shapes)
 
 
-def _bayes_threshold_c(d: jnp.ndarray, var) -> jnp.ndarray:
-    """Per-channel BayesShrink threshold for (C, H', W') detail bands."""
-    dvar = jnp.mean(d * d, axis=(-2, -1), keepdims=True)
+def _bayes_threshold_c(d: jnp.ndarray, var, mask_nv=None) -> jnp.ndarray:
+    """Per-channel BayesShrink threshold for (C, H', W') detail bands.
+
+    mask_nv: optional (mask (C, H', W') bool, nv (C,) i32) restricting the
+    band-variance estimate to valid-region coefficients (bucketed path)."""
+    if mask_nv is None:
+        dvar = jnp.mean(d * d, axis=(-2, -1), keepdims=True)
+    else:
+        mask, nv = mask_nv
+        dvar = (jnp.sum(jnp.where(mask, d * d, 0.0), axis=(-2, -1),
+                        keepdims=True)
+                / jnp.maximum(nv, 1)[:, None, None].astype(jnp.float32))
     eps = jnp.finfo(jnp.float32).eps
     return var / jnp.sqrt(jnp.maximum(dvar - var, eps))
 
 
-def denoise_channels(x: jnp.ndarray, levels: int) -> jnp.ndarray:
+def _level_masks(levels: int, shapes, hw: jnp.ndarray):
+    """Per-level validity masks for bucket-padded planes.
+
+    hw: (P, 2) traced valid (h, w) per plane.  The analysis halves extents
+    as m = (n + L - 1)//2; a coefficient j is counted valid when its
+    center 2j falls inside the valid extent, i.e. j < ceil(v/2) — the
+    seam coefficients that mix edge-replicated pad are a vanishing
+    fraction of the statistics.  Returns [(mask_l (P, mh, mw) bool,
+    nv_l (P,) i32)] finest-first."""
+    vh, vw = hw[:, 0], hw[:, 1]
+    out = []
+    for lvl in range(levels):
+        h, w = shapes[lvl][-2], shapes[lvl][-1]
+        mh, mw = (h + _L - 1) // 2, (w + _L - 1) // 2
+        vh = (vh + 1) // 2
+        vw = (vw + 1) // 2
+        rows = jnp.arange(mh)[None, :, None] < vh[:, None, None]
+        cols = jnp.arange(mw)[None, None, :] < vw[:, None, None]
+        out.append((rows & cols, (vh * vw).astype(jnp.int32)))
+    return out
+
+
+def denoise_channels(x: jnp.ndarray, levels: int,
+                     hw: jnp.ndarray | None = None) -> jnp.ndarray:
     """BayesShrink denoise of a (C, H, W) stack, per-channel statistics.
 
     Same math as denoise_channel per plane, but every DWT conv runs once
     over all C planes (the analysis/synthesis helpers batch over leading
-    dims) — 3x fewer XLA conv calls for the RGB path."""
+    dims) — 3x fewer XLA conv calls for the RGB path.
+
+    hw: optional (C, 2) valid extents when the planes are bucket-padded
+    canvases (the batched eval path): the sigma median and the per-band
+    BayesShrink variances then count only valid-region coefficients —
+    edge-replicated pad has near-zero detail coefficients that would
+    otherwise collapse sigma and silently under-denoise.  Thresholding
+    and reconstruction still run on the full canvas (the caller crops)."""
     a, coeffs, shapes = wavedec2(x, levels)
     dd1 = coeffs[0][2]
-    sigma = _median_nonneg(jnp.abs(dd1).reshape(dd1.shape[0], -1)
-                           )[:, None, None] / 0.67448975
+    if hw is None:
+        sigma = _median_nonneg(jnp.abs(dd1).reshape(dd1.shape[0], -1)
+                               )[:, None, None] / 0.67448975
+        masks = None
+    else:
+        masks = _level_masks(levels, shapes, hw)
+        m1, nv1 = masks[0]
+        sigma = _median_nonneg_masked(
+            jnp.abs(dd1).reshape(dd1.shape[0], -1),
+            m1.reshape(m1.shape[0], -1), nv1)[:, None, None] / 0.67448975
     var = sigma * sigma
     new_coeffs = []
-    for (ad, da, dd) in coeffs:
+    for lvl, (ad, da, dd) in enumerate(coeffs):
+        mask = None if masks is None else masks[lvl]
         new_coeffs.append((
-            _soft(ad, _bayes_threshold_c(ad, var)),
-            _soft(da, _bayes_threshold_c(da, var)),
-            _soft(dd, _bayes_threshold_c(dd, var)),
+            _soft(ad, _bayes_threshold_c(ad, var, mask)),
+            _soft(da, _bayes_threshold_c(da, var, mask)),
+            _soft(dd, _bayes_threshold_c(dd, var, mask)),
         ))
     return waverec2(a, new_coeffs, shapes)
 
 
+def _masked_minmax(ycc: jnp.ndarray, hw: jnp.ndarray):
+    """Per-plane min/max over the valid (h, w) region of padded planes.
+    ycc: (..., H, W); hw: broadcastable (..., 2) valid extents."""
+    h, w = ycc.shape[-2], ycc.shape[-1]
+    rows = jnp.arange(h) < hw[..., 0:1]                  # (..., H)
+    cols = jnp.arange(w) < hw[..., 1:2]                  # (..., W)
+    m = rows[..., :, None] & cols[..., None, :]          # (..., H, W)
+    inf = jnp.float32(jnp.inf)
+    mn = jnp.min(jnp.where(m, ycc, inf), axis=(-2, -1), keepdims=True)
+    mx = jnp.max(jnp.where(m, ycc, -inf), axis=(-2, -1), keepdims=True)
+    return mn, mx
+
+
 @functools.partial(jax.jit, static_argnames=('levels',))
-def denoise_wavelet(img01: jnp.ndarray, levels: int | None = None
-                    ) -> jnp.ndarray:
+def denoise_wavelet(img01: jnp.ndarray, levels: int | None = None,
+                    hw: jnp.ndarray | None = None) -> jnp.ndarray:
     """skimage denoise_wavelet(..., multichannel=True, convert2ycbcr=True).
 
     img01: (H, W, 3) float in [0, 1]-ish (unclipped inputs allowed, as the
@@ -338,36 +434,58 @@ def denoise_wavelet(img01: jnp.ndarray, levels: int | None = None
     the caller uses — the reference feeds BGR into an RGB-defined YCbCr
     transform (quirk preserved by not swapping).
     Returns float output (may exceed [0, 1], caller casts).
+
+    hw: optional (2,) valid extent when img01 is a bucket-padded canvas:
+    the normalization min/max, sigma median and band variances then count
+    valid-region values only (the reference computes them at the exact
+    image size; edge-replicated pad would otherwise bias them toward
+    zero-detail).  The decomposition depth stays canvas-derived — levels
+    must be static under jit; buckets are < 2x the valid extent so at most
+    the coarsest level differs, and thresholds are per-level anyway.
     """
     h, w = img01.shape[0], img01.shape[1]
     if levels is None:
         levels = default_levels(h, w)
     ycc = jnp.moveaxis(rgb01_to_ycbcr(img01), -1, 0)      # (3, H, W)
-    mn = jnp.min(ycc, axis=(-2, -1), keepdims=True)
-    mx = jnp.max(ycc, axis=(-2, -1), keepdims=True)
+    if hw is None:
+        hw3 = None
+        mn = jnp.min(ycc, axis=(-2, -1), keepdims=True)
+        mx = jnp.max(ycc, axis=(-2, -1), keepdims=True)
+    else:
+        hw3 = jnp.broadcast_to(hw[None, :], (3, 2))
+        mn, mx = _masked_minmax(ycc, hw3)
     rng = jnp.maximum(mx - mn, jnp.finfo(jnp.float32).eps)
-    d = denoise_channels((ycc - mn) / rng, levels)
+    d = denoise_channels((ycc - mn) / rng, levels, hw=hw3)
     out = jnp.moveaxis(d * rng + mn, 0, -1)
     return ycbcr_to_rgb01(out)
 
 
 @functools.partial(jax.jit, static_argnames=('levels',))
-def denoise_wavelet_batched(imgs01: jnp.ndarray, levels: int | None = None
-                            ) -> jnp.ndarray:
+def denoise_wavelet_batched(imgs01: jnp.ndarray, levels: int | None = None,
+                            hw: jnp.ndarray | None = None) -> jnp.ndarray:
     """Batched denoise_wavelet over (B, H, W, 3).
 
     Flattens (batch, channel) into one planar (3B, H, W) stack so every
     DWT matmul, threshold and sigma-median runs once at full width —
     measured ~1.7x faster than vmapping the per-image path (the per-image
-    stats are per-plane either way, so results match denoise_wavelet)."""
+    stats are per-plane either way, so results match denoise_wavelet).
+
+    hw: optional (B, 2) per-image valid extents for bucket-padded inputs
+    (see denoise_wavelet): all statistics mask to the valid region."""
     b, h, w = imgs01.shape[0], imgs01.shape[1], imgs01.shape[2]
     if levels is None:
         levels = default_levels(h, w)
     ycc = jnp.moveaxis(jax.vmap(rgb01_to_ycbcr)(imgs01), -1, 1)  # (B,3,H,W)
-    mn = jnp.min(ycc, axis=(-2, -1), keepdims=True)
-    mx = jnp.max(ycc, axis=(-2, -1), keepdims=True)
+    if hw is None:
+        hwp = None
+        mn = jnp.min(ycc, axis=(-2, -1), keepdims=True)
+        mx = jnp.max(ycc, axis=(-2, -1), keepdims=True)
+    else:
+        hwp = jnp.broadcast_to(hw[:, None, :], (b, 3, 2))
+        mn, mx = _masked_minmax(ycc, hwp)
+        hwp = hwp.reshape(b * 3, 2)
     rng = jnp.maximum(mx - mn, jnp.finfo(jnp.float32).eps)
     flat = ((ycc - mn) / rng).reshape(b * 3, h, w)
-    d = denoise_channels(flat, levels).reshape(ycc.shape)
+    d = denoise_channels(flat, levels, hw=hwp).reshape(ycc.shape)
     out = jnp.moveaxis(d * rng + mn, 1, -1)
     return jax.vmap(ycbcr_to_rgb01)(out)

@@ -57,17 +57,25 @@ def _seed_from_key(key) -> jnp.ndarray:
 
 def _hash_words(shape, salt: int, seed) -> jnp.ndarray:
     """uint32 avalanche hash of (flat counter, salt, seed64) over
-    `shape`; seed is the (2,) word pair from _seed_from_key."""
+    `shape`; seed is the (2,) word pair from _seed_from_key.
+
+    seed[1] enters AFTER the first avalanche stage rather than being
+    folded into the initial XOR: an initial-stage fold would collapse the
+    64-bit seed to the single word `seed0*C3 ^ seed1*C4`, restoring the
+    2^-32 pairwise full-stream birthday collision _seed_from_key exists
+    to avoid.  Injected mid-finalizer, two distinct seed pairs produce
+    identical streams only if both words match (the mul stages are odd,
+    hence bijective), at the cost of one extra XOR (~9 -> ~10 ops/word)."""
     n = 1
     for s in shape:
         n *= s
     idx = jax.lax.iota(jnp.uint32, n).reshape(shape)
     h = (idx * jnp.uint32(0x9E3779B9)
          ^ jnp.uint32(salt) * jnp.uint32(0x85EBCA6B)
-         ^ seed[0] * jnp.uint32(0xC2B2AE35)
-         ^ seed[1] * jnp.uint32(0x27D4EB2F))
+         ^ seed[0] * jnp.uint32(0xC2B2AE35))
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x7FEB352D)
+    h = h ^ seed[1] * jnp.uint32(0x27D4EB2F)
     h = h ^ (h >> 15)
     h = h * jnp.uint32(0x846CA68B)
     h = h ^ (h >> 16)

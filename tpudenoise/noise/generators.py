@@ -336,60 +336,10 @@ def bloom(key, img_u8: jnp.ndarray, hw=None) -> jnp.ndarray:
     hw: optional valid extent on a bucket-padded canvas; the flare-line
     raster length and circle-radius range then follow the VALID geometry
     (dynamic randint bounds), so circle placement statistics match the
-    exact-size run."""
+    exact-size run.
+
+    Composition of bloom_params + bloom_apply_scan (the split the Pallas
+    kernel consumes) — one implementation of the draw/composite math, so
+    the XLA and Pallas paths cannot drift."""
     h, w = img_u8.shape[0], img_u8.shape[1]
-    fc_x, fc_y = 100.0, 100.0
-    angle = (-math.pi / 4) % (2 * math.pi)
-    n_circ = 8
-    src_radius = 400
-    yy = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-
-    # flare line sampled every 10 px in x (Automold.py:565-573)
-    n_line = (w + 9) // 10
-    line_x = jnp.arange(n_line, dtype=jnp.float32) * 10.0
-    line_y = 2.0 * fc_y - (math.tan(angle) * (line_x - fc_x) + fc_y)
-    if hw is None:
-        n_line_d, rad_hi = n_line, max(h // 100 - 2, 1)
-    else:
-        n_line_d = (hw[1] + 9) // 10
-        rad_hi = jnp.maximum(hw[0] // 100 - 2, 1)
-
-    keys = jax.random.split(key, n_circ)
-
-    def draw_circle(carry, k):
-        overlay, output = carry
-        k1, k2, k3, k4 = jax.random.split(k, 4)
-        alpha = jax.random.uniform(k1, (), minval=0.05, maxval=0.2)
-        r_idx = jax.random.randint(k2, (), 0, n_line_d)
-        rad = jax.random.randint(k3, (), 1, rad_hi + 1).astype(jnp.float32)
-        color = jax.random.randint(k4, (3,), 205, 256).astype(jnp.float32)
-        cx = jnp.floor(line_x[r_idx])
-        cy = jnp.floor(line_y[r_idx])
-        mask = ((xx - cx) ** 2 + (yy - cy) ** 2) <= (rad ** 3) ** 2
-        overlay = jnp.where(mask[..., None], color, overlay)
-        output = saturate_u8(alpha * overlay + (1.0 - alpha) * output)
-        return (overlay, output), None
-
-    (overlay, output), _ = jax.lax.scan(
-        draw_circle, (img_u8.astype(jnp.float32), img_u8.astype(jnp.float32)),
-        keys)
-
-    # flare source: concentric white circles with cubic alpha
-    # (Automold.py:553-563)
-    num_times = src_radius // 10
-    alphas = jnp.linspace(0.0, 1.0, num_times)
-    rads = jnp.linspace(1.0, float(src_radius), num_times)
-    d2 = (xx - fc_x) ** 2 + (yy - fc_y) ** 2
-
-    def draw_src(carry, i):
-        overlay, output = carry
-        mask = d2 <= rads[i] ** 2
-        overlay = jnp.where(mask[..., None], 255.0, overlay)
-        alp = alphas[num_times - i - 1] ** 3
-        output = saturate_u8(alp * overlay + (1.0 - alp) * output)
-        return (overlay, output), None
-
-    (_, output), _ = jax.lax.scan(draw_src, (overlay, output),
-                                  jnp.arange(num_times))
-    return output
+    return bloom_apply_scan(img_u8, bloom_params(key, h, w, hw=hw))

@@ -50,10 +50,11 @@ def _to_u8(images: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.round(images), 0, 255).astype(jnp.uint8)
 
 
-def _apply_wavelet_from_float(imgf: jnp.ndarray) -> jnp.ndarray:
+def _apply_wavelet_from_float(imgf: jnp.ndarray, hw=None) -> jnp.ndarray:
     """denoise_wavelet on a float image then (255*out).astype(u8) wrap
-    (ref test.py:197-201)."""
-    w = denoise_wavelet(imgf)
+    (ref test.py:197-201).  hw: valid extent for bucket-padded canvases —
+    masks the BayesShrink statistics to the valid region."""
+    w = denoise_wavelet(imgf, hw=hw)
     return G.wrap_cast_u8(255.0 * w)
 
 
@@ -153,7 +154,7 @@ def apply_spec(spec: NoiseSpec, key, img_u8: jnp.ndarray,
         return u8
     if d == Denoise.WAVELET:
         src = noisy if spec.kind in _WAVELET_ON_FLOAT else G.to_unit(u8)
-        return _apply_wavelet_from_float(src)
+        return _apply_wavelet_from_float(src, hw=hw)
     return _FILTERS[d](u8, True)
 
 
@@ -482,15 +483,19 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
             return _pallas_bilateral_pipeline(specs, 1, fast_bits)
     unit_float = all(s.unit_float_output for s in specs)
 
-    def _post_batched(out):
+    def _post_batched(out, hw=None):
         # the standalone post-pass is the SAME filter for every image —
         # vmap it over the batch (no switch, so no all-branches blowup);
         # the wavelet goes through its planar-batched entry (one DWT
-        # matmul stack for the whole batch, ~1.7x the vmapped path)
+        # matmul stack for the whole batch, ~1.7x the vmapped path).
+        # hw (bucketed path): masks the wavelet's BayesShrink statistics
+        # to each image's valid region; the stencil filters are
+        # hw-independent (edge-replicated pad, caller crops).
         if plan.post_denoise == Denoise.WAVELET:
             from tpudenoise.denoise.wavelet import denoise_wavelet_batched
             src = out if unit_float else G.to_unit(out)
-            return G.wrap_cast_u8(255.0 * denoise_wavelet_batched(src))
+            return G.wrap_cast_u8(
+                255.0 * denoise_wavelet_batched(src, hw=hw))
         return jax.vmap(lambda im: apply_post(plan.post_denoise, im,
                                               unit_float))(out)
 
@@ -519,7 +524,7 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
         ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
         return _post_batched(_apply_specs_batched(
             specs, ks, images, hw, use_pallas=use_pallas,
-            fast_bits=fast_bits))
+            fast_bits=fast_bits), hw=hw)
 
     run.keyed = run_keyed
     run.masked = run_masked
