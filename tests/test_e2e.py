@@ -126,3 +126,48 @@ def test_npz_roundtrip(tmp_path):
                                   params['head']['conv1']['kernel'])
     np.testing.assert_array_equal(back['rpn']['rpn_conv']['bias'],
                                   params['rpn']['rpn_conv']['bias'])
+
+
+def test_solver_padded_batch_masked_noise(env, tmp_path):
+    """Shape-diverse training batches: the noise stage must follow each
+    image's valid geometry (masked pipeline) and the network input's pad
+    must be ZERO after mean subtraction — the reference zero-pads AFTER
+    noise + mean subtract (minibatch.py:1676-1688 -> blob.py:17-47), so
+    pad pixels are exactly 0.0 there, never noised."""
+    cfg, gt = env
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.data.roidb import (combined_roidb, filter_roidb,
+                                       get_training_roidb)
+    from tpudenoise.data.voc_like import rrData
+    from tpudenoise.models.faster_rcnn import FasterRCNN
+    from tpudenoise.train.solver import Solver
+
+    d = rrData('train', '2021', config=cfg)
+    d.set_proposal_method('gt')
+    roidb = filter_roidb(get_training_roidb(d, 'original', cfg), cfg)
+    model = FasterRCNN(backbone='vgg16', num_classes=2, cfg=cfg)
+    solver = Solver(model, d, roidb, roidb, str(tmp_path / 'out'),
+                    str(tmp_path / 'tb'),
+                    noise='gaussian_wavelet_var0.1', config=cfg,
+                    batch_size=2, bucket=(192, 256))
+    from tpudenoise.data.loader import RoiDataLoader
+    loader = RoiDataLoader(roidb, d.num_classes, cfg, batch_size=2,
+                           bucket=(192, 256))
+    batch = loader.forward()
+    # fixture images resize to 150x188 < the (192, 256) bucket: the
+    # loader must edge-replicate the pad (stencil halo contract)
+    im = batch['image']
+    h, w = int(batch['im_info'][0][0]), int(batch['im_info'][0][1])
+    assert h < 192 and w < 256
+    assert (im[0, h:, :w] == im[0, h - 1:h, :w]).all()
+    assert (im[0, :, w:] == im[0, :, w - 1:w]).all()
+
+    prepped = solver._prep_batch(jax.random.PRNGKey(0), batch)
+    out = np.asarray(prepped['image'])
+    # pad region is exactly zero (reference blob semantics)
+    assert (out[0, h:, :] == 0.0).all()
+    assert (out[0, :, w:] == 0.0).all()
+    # valid region was noised + mean-subtracted (nonzero, finite)
+    assert np.isfinite(out[0, :h, :w]).all()
+    assert np.abs(out[0, :h, :w]).mean() > 1.0

@@ -128,3 +128,33 @@ def test_initialize_distributed_plumbing(monkeypatch):
     from tpudenoise.cli.trainval import parse_args as pa_train
     assert pa_train(['--distributed', '--imdb', 'x']).distributed
     assert pa_test(['--distributed', '--model', 'x']).distributed
+
+
+def test_masked_noise_shard_map_matches_single_device(mesh):
+    """The solver's padded-batch branch runs noise_fn.masked inside
+    shard_map (per-device shards, per-image keys).  The sharded result
+    must equal the unsharded masked call exactly — same keys, same
+    program per image."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    from tpudenoise.noise.pipeline import make_pipeline
+
+    rng = np.random.RandomState(4)
+    imgs = np.zeros((8, 48, 64, 3), np.float32)
+    hw = np.zeros((8, 2), np.int32)
+    for i in range(8):
+        h, w = 32 + 2 * i, 40 + 3 * i
+        imgs[i, :h, :w] = rng.randint(0, 256, (h, w, 3))
+        imgs[i, h:, :w] = imgs[i, h - 1:h, :w]
+        imgs[i, :, w:] = imgs[i, :, w - 1:w]
+        hw[i] = (h, w)
+    pipe = make_pipeline('gaussian_wavelet_var0.1', mode='TRAIN')
+    keys = jax.vmap(lambda i: jax.random.fold_in(
+        jax.random.PRNGKey(7), i))(jnp.arange(8))
+    want = np.asarray(pipe.masked(keys, jnp.asarray(imgs),
+                                  jnp.asarray(hw)))
+    got = np.asarray(shard_map(
+        pipe.masked, mesh=mesh,
+        in_specs=(P('data'), P('data'), P('data')),
+        out_specs=P('data'))(keys, jnp.asarray(imgs), jnp.asarray(hw)))
+    np.testing.assert_array_equal(got, want)

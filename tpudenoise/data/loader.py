@@ -123,6 +123,15 @@ class RoiDataLoader:
             assert h <= bh and w <= bw, \
                 f'image {h}x{w} exceeds bucket {bh}x{bw}'
             images[j, :h, :w] = im
+            # edge-replicate the pad so the device noise/denoise stencils
+            # see plausible halo pixels at the valid boundary (the masked
+            # pipeline's contract); the solver re-zeroes the pad after
+            # the noise stage to restore the reference's zero-pad network
+            # input (im_list_to_blob pads AFTER noise, blob.py:17-30)
+            if h < bh:
+                images[j, h:, :w] = im[-1:]
+            if w < bw:
+                images[j, :, w:] = images[j, :, w - 1:w]
             im_info[j] = (h, w, scale)
             # gt boxes scaled into the network input frame
             # (ref minibatch.py:66-71)

@@ -164,6 +164,16 @@ class Solver:
         """Device noise + mean subtraction on the raw loader batch.
         The loader ships uint8; the f32 cast happens after transfer.
 
+        Batches whose images all fill the bucket (the rrData single-shape
+        contract) take the exact-size path, bit-identical to round-2
+        streams.  Shape-diverse batches arrive edge-replicate-padded from
+        the loader and go through the MASKED pipeline — raster-dependent
+        generators and the wavelet's BayesShrink statistics follow each
+        image's valid (h, w), matching the reference's exact-size noise
+        semantics — then the pad is re-zeroed, because the reference
+        zero-pads AFTER the noise stage (minibatch.py:1676-1688 ->
+        blob.py:17-30) and the network must see the same zero pad.
+
         Under a mesh the batch dim shards over 'data' and the noise runs
         inside shard_map (each device applies the fused kernels to its
         local shard — Pallas calls never cross the partitioner), with
@@ -172,7 +182,33 @@ class Solver:
         harness's does (documented there)."""
         imgs = jnp.asarray(batch['image']).astype(jnp.float32)
         batch = dict(batch)
-        if self.mesh is None:
+        bh, bw = imgs.shape[1], imgs.shape[2]
+        hw_np = np.asarray(batch['im_info'])[:, :2].astype(np.int32)
+        padded = bool((hw_np != (bh, bw)).any())
+        if padded:
+            hw = jnp.asarray(hw_np)
+            b = imgs.shape[0]
+            keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
+                jnp.arange(b))
+            if self.mesh is None:
+                noisy = self._noise_fn.masked(keys, imgs, hw)
+            else:
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import (NamedSharding,
+                                          PartitionSpec as P)
+                sh = NamedSharding(self.mesh, P('data'))
+                imgs = jax.device_put(imgs, sh)
+                hw = jax.device_put(hw, sh)
+                keys = jax.device_put(keys, sh)
+                noisy = shard_map(self._noise_fn.masked, mesh=self.mesh,
+                                  in_specs=(P('data'), P('data'),
+                                            P('data')),
+                                  out_specs=P('data'))(keys, imgs, hw)
+                for k in ('im_info', 'gt_boxes', 'gt_mask'):
+                    batch[k] = jax.device_put(jnp.asarray(batch[k]), sh)
+            valid = ((jnp.arange(bh)[None, :, None] < hw[:, 0:1, None])
+                     & (jnp.arange(bw)[None, None, :] < hw[:, 1:2, None]))
+        elif self.mesh is None:
             noisy = self._noise_fn(key, imgs)
         else:
             from jax.experimental.shard_map import shard_map
@@ -188,7 +224,12 @@ class Solver:
             for k in ('im_info', 'gt_boxes', 'gt_mask'):
                 batch[k] = jax.device_put(jnp.asarray(batch[k]), sh)
         means = jnp.asarray(np.asarray(self.cfg.PIXEL_MEANS, np.float32))
-        batch['image'] = noisy - means
+        out = noisy - means
+        if padded:
+            # the reference's blob pad is zero AFTER mean subtraction
+            # (prep_im_for_blob -> im_list_to_blob, blob.py:17-47)
+            out = jnp.where(valid[..., None], out, 0.0)
+        batch['image'] = out
         batch['im_info'] = jnp.asarray(batch['im_info'])
         batch['gt_boxes'] = jnp.asarray(batch['gt_boxes'])
         batch['gt_mask'] = jnp.asarray(batch['gt_mask'])
