@@ -260,9 +260,31 @@ def bench_config6(shape=(600, 1000), batch=8, inner=3, reps=3,
     return batch / best
 
 
+def _backend_available():
+    """Probe backend initialization without a stack-trace blowup.
+
+    The TPU here rides a tunnel relay that can be down while the code is
+    fine; a driver-facing bench must distinguish "environment
+    unavailable" from "bench broken" (round-3 BENCH failed with a raw
+    RuntimeError 40 frames deep in a device_put)."""
+    try:
+        dev = jax.devices()[0]
+        return True, str(dev)
+    except RuntimeError as e:  # jax raises RuntimeError on backend-init failure
+        return False, str(e).splitlines()[0]
+
+
 def main():
     jax.config.update('jax_threefry_partitionable', True)
     full = '--full' in sys.argv
+
+    ok, detail = _backend_available()
+    if not ok:
+        print(json.dumps({
+            "metric": "ENVIRONMENT UNAVAILABLE: accelerator backend failed to initialize",
+            "value": None, "unit": None, "vs_baseline": None,
+            "error": detail}))
+        return 75  # EX_TEMPFAIL: retry when the environment is back
 
     rng = np.random.RandomState(3)
     raw = rng.randint(0, 256, (BATCH, H, W, 3))

@@ -175,3 +175,47 @@ def test_harness_bucketed_eval(tmp_path):
     # 10 images, >= 8 distinct raw shapes -> at most 2 bucket shapes
     assert 1 <= len(seen_shapes) <= 2, seen_shapes
     assert res is not None
+
+
+def test_fused_sap_masked_interior_bitexact_band_bounded():
+    """The fused Pallas sap+median .masked stub forwards to the unmasked
+    kernel (pipeline.py): on a bucketed canvas the valid region must
+    still be BIT-EXACT vs the exact-size run beyond a 2-px boundary band
+    (the double 3x3 median's influence radius), across both a taller and
+    a taller+wider canvas — i.e. the counter-hash noise draws are
+    coordinate-stable under canvas growth, and the only deviation is the
+    documented PARITY #6 stencil-halo band (pad pixels carry their own
+    draws instead of BORDER_REPLICATE of the noisy edge)."""
+    import functools
+    import tpudenoise.noise.pallas_kernels as pk
+    import tpudenoise.noise.pipeline as pipe
+
+    orig = pk.fused_sap_median_batched
+    pk.fused_sap_median_batched = functools.partial(orig, interpret=True)
+    try:
+        fn = pipe.make_pipeline('sap_median_var0.4', mode='TEST',
+                                use_pallas=True)
+        assert fn.backend == 'pallas:sap_median'
+        rng = np.random.RandomState(0)
+        h0, w0 = 40, 56
+        im = _img(rng, h0, w0)
+        key = jax.random.PRNGKey(3)
+        keys = jax.vmap(lambda j: jax.random.fold_in(key, j))(
+            jnp.asarray([5], jnp.int32))
+        hw = jnp.asarray([[h0, w0]], jnp.int32)
+        exact = np.asarray(fn.keyed(keys, jnp.asarray(im)[None]))[0]
+        for ph, pw in ((48, 56), (48, 64)):
+            padded = np.pad(im, ((0, ph - h0), (0, pw - w0), (0, 0)),
+                            mode='edge')
+            got = np.asarray(fn.masked(
+                keys, jnp.asarray(padded)[None], hw))[0][:h0, :w0]
+            np.testing.assert_array_equal(got[2:-2, 2:-2],
+                                          exact[2:-2, 2:-2])
+            # the boundary band may deviate (sap is 0/255 impulses) but
+            # must stay sparse: most band pixels agree
+            band = np.ones((h0, w0), bool)
+            band[2:-2, 2:-2] = False
+            frac = (np.abs(got - exact).max(-1)[band] > 0).mean()
+            assert frac < 0.5, f'boundary band deviation too dense: {frac}'
+    finally:
+        pk.fused_sap_median_batched = orig

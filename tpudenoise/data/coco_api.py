@@ -218,6 +218,11 @@ class COCOeval:
                   'categories — this is slow at full-COCO scale; install '
                   'pycocotools for the C-accelerated evaluator.')
         for img_id in self.img_ids:
+            # evict the previous image's gts/dts/IoU tuples: reuse only
+            # happens within one image (across its cats x 4 area ranges);
+            # retaining all images x cats exhausts memory at full-COCO
+            # scale (ADVICE r3)
+            self._fetch_cache.clear()
             for cat_id in self.cat_ids:
                 for rng_name, (lo, hi) in AREA_RNG.items():
                     self._per_img[img_id, cat_id, rng_name] = \

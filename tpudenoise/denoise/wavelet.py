@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -134,11 +135,18 @@ def _synthesis_1d(lo: jnp.ndarray, hi: jnp.ndarray, n: int, axis: int):
 # data on TPU — ABOVE the 2e-5 perfect-reconstruction test budget (the
 # PR tests run on CPU, which computes true f32 regardless of this enum;
 # see PARITY.md #9 for why 6e-5 = 0.015 gray levels is absorbed by the
-# wrap-cast except isolated +/-1-level pixels).  ~2x the throughput of
+# wrap-cast except isolated +/-1-level pixels; tests/test_tpu_numerics.py
+# pins the 6e-5 budget on real TPU).  ~2x the throughput of
 # HIGHEST (FLOP-bound: level-1 dec+rec is ~235 GFLOP per 16-image
 # batch).  NB Precision.HIGH is backend-dependent: bf16x3 on TPU, TF32
 # (~1e-3) on GPU — revisit before any CUDA deployment.
-_PREC = jax.lax.Precision.HIGH
+# Overridable without a code edit: TPUDENOISE_WAVELET_PRECISION in
+# {default, high, highest} (read once at import).
+_PREC = {
+    'default': jax.lax.Precision.DEFAULT,
+    'high': jax.lax.Precision.HIGH,
+    'highest': jax.lax.Precision.HIGHEST,
+}[os.environ.get('TPUDENOISE_WAVELET_PRECISION', 'high').lower()]
 
 
 def _refl(i: int, n: int) -> int:

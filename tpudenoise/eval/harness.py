@@ -157,7 +157,11 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     for i in range(num_images):
         w, h = PIL.Image.open(imdb_obj.image_path_at(i)).size
         raw_shapes.append((h, w))
-    noise_buckets = derive_noise_buckets(raw_shapes)
+    # strict_ref keeps the exact-size reference-order noise path (one
+    # compiled program per distinct raw shape): bucketing changes the
+    # RNG layout and introduces 1-px stencil-halo deviations (PARITY #6),
+    # which a parity run must not absorb silently (ADVICE r3).
+    noise_buckets = None if strict_ref else derive_noise_buckets(raw_shapes)
     if noise_buckets:
         print(f'noise buckets: {noise_buckets} '
               f'({len(set(raw_shapes))} distinct raw shapes)')

@@ -82,8 +82,14 @@ def crop_and_resize(feat: jnp.ndarray, boxes: jnp.ndarray,
 
     def step(_, ab):
         a, b = ab
-        t = jnp.einsum('riy,yxc->rixc', a, feat)
-        return None, jnp.einsum('rixc,rjx->rijc', t, b)
+        # HIGHEST: the tap weights are fractional — Precision.DEFAULT
+        # would round them (and the features) to bf16 on the MXU, a
+        # silent ~2^-8 quantization of the detection path that CPU tests
+        # can't observe.  Cost is negligible at (64,S,H)x(H,W,C) shapes.
+        t = jnp.einsum('riy,yxc->rixc', a, feat,
+                       precision=jax.lax.Precision.HIGHEST)
+        return None, jnp.einsum('rixc,rjx->rijc', t, b,
+                                precision=jax.lax.Precision.HIGHEST)
 
     _, out = jax.lax.scan(step, None, (A4, B4))
     return out.reshape(nc * chunk, s, s, c)[:r]
