@@ -35,7 +35,11 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 GRID = [
     'original',
     'gaussian_var0.1', 'gaussian_var1.0', 'gaussian_var1.5',
-    'gaussian_gaus_blur_var0.1', 'gaussian_wavelet_var0.1',
+    # gaus_blur at all three levels: the plain-gaussian rows score ~0 AP
+    # (quirk-faithful float output) so the blur rows are the gaussian
+    # family's live regression signal (VERDICT r3 #9)
+    'gaussian_gaus_blur_var0.1', 'gaussian_gaus_blur_var1.0',
+    'gaussian_gaus_blur_var1.5', 'gaussian_wavelet_var0.1',
     'sap_var0.2', 'sap_var0.4', 'sap_var0.8', 'sap_median_var0.4',
     'speckle_var0.5', 'speckle_var1.0', 'speckle_var2.0',
     'speckle_bilateral_var1.0',

@@ -25,7 +25,20 @@ from tpudenoise.models.faster_rcnn import pad_to_bucket
 from tpudenoise.noise.pipeline import make_pipeline
 from tpudenoise.ops.boxes import bbox_transform_inv, clip_boxes_lower_only
 from tpudenoise.ops.nms import NEG_INF, nms_fixpoint
+from tpudenoise.utils.logging import get_metrics_logger
 from tpudenoise.utils.timer import Timer
+
+
+def _log_det_scores(dets: 'np.ndarray', image_index: int):
+    """Per-detection 'score' scalar summaries for confident (>= 0.8)
+    detections, stepped by image index — the reference writes one
+    tf.Summary per such detection during eval (ref lib/model/test.py:
+    1864-1874).  No-op without an attached tb/wandb sink."""
+    logger = get_metrics_logger()
+    if not logger.active_sinks or len(dets) == 0:
+        return
+    for s in dets[dets[:, -1] >= 0.8, -1]:
+        logger.log_scalar_quiet('score', float(s), step=image_index)
 
 
 @functools.partial(jax.jit,
@@ -220,6 +233,7 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
             dets = np.hstack([bx[j - 1][sel],
                               sc[j - 1][sel][:, None]]).astype(np.float32)
             all_boxes[j][i] = dets
+            _log_det_scores(dets, i)
         timers['misc'].toc()
         if (i + 1) % 20 == 0 or i == num_images - 1:
             print(f'im_detect: {i + 1:d}/{num_images:d} '
@@ -534,6 +548,7 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                 all_boxes[cls][i] = np.hstack(
                     [bx[j][cls - 1][sel],
                      sc[j][cls - 1][sel][:, None]]).astype(np.float32)
+                _log_det_scores(all_boxes[cls][i], i)
         timers['misc'].toc()
         done += n_real
         print(f'im_detect: {done:d}/{num_images:d} '

@@ -81,6 +81,7 @@ class Solver:
                   f'{dict(zip(self.mesh.axis_names, self.mesh.devices.shape))} mesh')
         self._init_state_fn, self._step_fn = make_train_step(
             model, self.cfg, mesh=self.mesh)
+        self._act_fn = None  # lazy jitted activation probe (summaries)
 
     # ---------------------------------------------------- snapshots ----
 
@@ -254,6 +255,51 @@ class Solver:
         self.logger.log_image('train/gt_image',
                               draw_bounding_boxes(img, gtb), step=it)
 
+    def _log_histogram_summaries(self, state, batch, it: int):
+        """TRAIN/ variable, SCORE/ prediction and ACT/ activation
+        histograms -> TensorBoard, the reference's summary triple (ref
+        lib/nets/network.py:57-68 _add_act_summary / _add_score_summary /
+        _add_train_summary, merged every summary interval,
+        train_val.py:325-362).
+
+        Deviations: the score/activation tensors come from one jitted
+        test-mode forward on the first batch image (the reference reads
+        them out of the train graph's extra fetches); the RPN activation
+        logged is the class-score map, not the 512-d hidden relu (not an
+        output of the functional RPN module)."""
+        if not self.logger.active_sinks:
+            return
+        params = state.params
+        # TRAIN/: one histogram per trainable variable, path-named
+        flat, _ = jax.tree_util.tree_flatten_with_path(params)
+        for path, leaf in flat:
+            name = '/'.join(getattr(p, 'key', str(getattr(p, 'idx', p)))
+                            for p in path)
+            self.logger.log_histogram(f'TRAIN/{name}', np.asarray(leaf),
+                                      step=it)
+        img, info = batch['image'][0], batch['im_info'][0]
+        if self._act_fn is None:
+            self._act_fn = jax.jit(
+                lambda p, im: self.model._rpn_forward(p, im)[:4])
+        feat, rpn_map, rpn_scores, rpn_deltas = self._act_fn(params, img)
+        out = self.model.forward_test(params, img, info)
+        for tag, t in (('rpn_cls_prob', rpn_scores),
+                       ('rpn_bbox_pred', rpn_deltas),
+                       ('rois', out['rois']),
+                       ('roi_scores', out['roi_scores']),
+                       ('cls_score', out['cls_score']),
+                       ('cls_prob', out['cls_prob']),
+                       ('bbox_pred', out['bbox_pred'])):
+            self.logger.log_histogram(f'SCORE/{tag}', np.asarray(t),
+                                      step=it)
+        for tag, t in (('net_conv', feat), ('rpn_cls_map', rpn_map)):
+            a = np.asarray(t)
+            self.logger.log_histogram(f'ACT/{tag}/activations', a, step=it)
+            # tf.nn.zero_fraction twin (network.py:59-60)
+            self.logger.log_scalar_quiet(
+                f'ACT/{tag}/zero_fraction', float((a == 0).mean()), step=it)
+        self.logger.flush()
+
     def train_model(self, max_iters: int, resume: bool = True):
         C = self.cfg
         loader = RoiDataLoader(self.roidb, self.imdb.num_classes, C,
@@ -306,6 +352,7 @@ class Solver:
                         f'aborting (set TRAIN.NAN_ABORT False to ignore)')
             if time.time() - last_summary > C.TRAIN.SUMMARY_INTERVAL:
                 self._log_gt_image_summary(batch, it)
+                self._log_histogram_summaries(state, batch, it)
                 if self.valroidb:
                     key, k_vn, k_vs = jax.random.split(key, 3)
                     vbatch = self._prep_batch(k_vn, val_loader.forward())

@@ -65,6 +65,42 @@ class MetricsLogger:
         if self._wandb:
             self._wandb.log(metrics, step=step)
 
+    def log_histogram(self, tag: str, values, step: Optional[int] = None):
+        """Histogram summary -> tfevents (and wandb when active): the
+        reference's TRAIN/ variable, ACT/ activation and SCORE/ prediction
+        histograms (ref lib/nets/network.py:57-68 _add_act_summary /
+        _add_score_summary / _add_train_summary).  values: any array."""
+        import numpy as np
+        values = np.asarray(values, np.float32).ravel()
+        if values.size == 0:
+            return
+        if self._tb:
+            self._tb.add_histogram(tag, values, global_step=step)
+        if self._wandb:
+            self._wandb.log({tag: self._wandb.Histogram(values)},
+                            step=step)
+
+    def log_scalar_quiet(self, tag: str, value: float,
+                         step: Optional[int] = None):
+        """Scalar straight to tfevents/wandb, bypassing stdout/JSONL —
+        for high-rate per-detection records (ref lib/model/test.py:
+        1871-1874 writes one 'score' summary per detection per image)."""
+        if self._tb:
+            self._tb.add_scalar(tag, float(value), global_step=step)
+        if self._wandb:
+            self._wandb.log({tag: float(value)}, step=step)
+
+    def flush(self):
+        if self._tb:
+            self._tb.flush()
+
+    @property
+    def active_sinks(self) -> bool:
+        """True when a tb/wandb sink is attached (callers skip expensive
+        summary prep otherwise, like the reference's summary_interval
+        gate)."""
+        return self._tb is not None or self._wandb is not None
+
     def log_image(self, tag: str, image, step: Optional[int] = None):
         """Image summary -> tfevents (and wandb when active): the
         reference's gt-annotated training-image summaries
