@@ -41,6 +41,31 @@ def test_spatial_separable_matches_single_device(mesh, kind):
     np.testing.assert_array_equal(got, want)
 
 
+def test_spatial_2d_mesh_data_x_spatial():
+    """The 2-D mesh leg (SURVEY §2.3): a (2, 4) ('data', 'spatial') mesh
+    shards the batch 2-way while each image's rows split over 4 devices;
+    halo ppermutes ride the 'spatial' axis independently per data slice.
+    Must stay bit-exact vs the single-device stencil."""
+    from tpudenoise.denoise.stencils import median3
+    from tpudenoise.parallel.spatial import make_spatial_filter
+    mesh2d = make_mesh([2, 4], ['data', 'spatial'])
+    assert mesh2d.devices.shape == (2, 4)
+    rng = np.random.RandomState(7)
+    imgs = rng.randint(0, 256, (4, 32, 48, 3)).astype(np.float32)
+    fn = make_spatial_filter(mesh2d, 'median', axis='spatial',
+                             batch_axis='data')
+    got = np.asarray(fn(jnp.asarray(imgs)))
+    want = np.asarray(jax.vmap(median3)(imgs))
+    np.testing.assert_array_equal(got, want)
+    # gaussian leg: reflect101 borders must survive the 2-D layout too
+    from tpudenoise.denoise.stencils import gaussian_blur3
+    fn_g = make_spatial_filter(mesh2d, 'gaussian', axis='spatial',
+                               batch_axis='data')
+    got_g = np.asarray(fn_g(jnp.asarray(imgs)))
+    np.testing.assert_array_equal(
+        got_g, np.asarray(jax.vmap(gaussian_blur3)(imgs)))
+
+
 def test_dp_pipeline_sharded(mesh):
     from tpudenoise.noise.pipeline import make_pipeline
     from tpudenoise.parallel.dp import dp_noise_pipeline, shard_batch

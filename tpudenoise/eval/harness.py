@@ -62,10 +62,16 @@ def postprocess_detections(rois, roi_mask, cls_prob, bbox_pred, im_info,
     pred = clip_boxes_lower_only(pred, orig_hw)
     r = rois.shape[0]
     pred = pred.reshape(r, num_classes, 4)
+    return _per_class_nms(pred, cls_prob, roi_mask, num_classes,
+                          nms_thresh, score_thresh, max_per_class)
 
-    # ONE vmapped per-class NMS over the foreground classes instead of
-    # num_classes-1 unrolled copies of the suppression graph (VOC-21
-    # builds 20 of them otherwise — slower to compile AND to run)
+
+def _per_class_nms(pred, cls_prob, roi_mask, num_classes, nms_thresh,
+                   score_thresh, max_per_class):
+    """ONE vmapped per-class NMS over the foreground classes instead of
+    num_classes-1 unrolled copies of the suppression graph (VOC-21
+    builds 20 of them otherwise — slower to compile AND to run).
+    pred: (R, C, 4), cls_prob: (R, C), roi_mask: (R,)."""
     def per_class(b, s):
         valid = roi_mask & (s > score_thresh)
         keep, kmask = nms_fixpoint(b, s, nms_thresh,
@@ -78,6 +84,38 @@ def postprocess_detections(rois, roi_mask, cls_prob, bbox_pred, im_info,
     scores_cls = cls_prob[:, 1:].T                      # (C-1, R)
     boxes_c, scores_c, mask_c = jax.vmap(per_class)(boxes_cls, scores_cls)
     return boxes_c, scores_c, mask_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('num_classes', 'max_per_class'))
+def postprocess_detections_pyramid(rois, roi_masks, cls_probs, bbox_preds,
+                                   im_infos, num_classes: int, nms_thresh,
+                                   score_thresh, max_per_class: int = 100):
+    """Multi-scale im_detect merge: decode each pyramid level through its
+    own im_scale back into ORIGINAL-image coordinates (the reference's
+    _rescale_boxes, test.py:105-109), pool all levels' candidates, then
+    ONE per-class NMS over the union — classic py-faster-rcnn pyramid
+    semantics.  The reference ships the pyramid plumbing
+    (_get_image_blob loops cfg.TEST.SCALES, test.py:49-83) while its
+    im_detect asserts a single scale; this completes the contract.
+
+    Level arrays are stacked on axis 0: rois (S, R, 4), roi_masks (S, R),
+    cls_probs (S, R, C), bbox_preds (S, R, 4C), im_infos (S, 3)."""
+    def decode(rois_l, pred_l, info_l):
+        scale = info_l[2]
+        boxes = rois_l / scale
+        out = bbox_transform_inv(boxes, pred_l)
+        orig_hw = (jnp.round(info_l[0] / scale),
+                   jnp.round(info_l[1] / scale))
+        return clip_boxes_lower_only(out, orig_hw)
+
+    pred = jax.vmap(decode)(rois, bbox_preds, im_infos)   # (S, R, 4C)
+    s, r = pred.shape[0], pred.shape[1]
+    pred = pred.reshape(s * r, num_classes, 4)
+    probs = cls_probs.reshape(s * r, num_classes)
+    mask = roi_masks.reshape(s * r)
+    return _per_class_nms(pred, probs, mask, num_classes, nms_thresh,
+                          score_thresh, max_per_class)
 
 
 def limit_per_image(boxes_c, scores_c, mask_c, max_per_image: int):
@@ -162,8 +200,15 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
     print(f'noise pipeline backend: {noise_fn.backend}')
     key = jax.random.PRNGKey(C.RNG_SEED)
     timers = {'im_detect': Timer(), 'misc': Timer()}
-    t_size = target_size or C.TEST.SCALES[0]
+    # full TEST.SCALES pyramid (ref _get_image_blob loops the tuple,
+    # test.py:49-83): one forward per scale, detections merged through
+    # postprocess_detections_pyramid.  target_size overrides to one scale.
+    t_sizes = ((target_size,) if target_size is not None
+               else tuple(C.TEST.SCALES))
+    t_size = t_sizes[0]
     m_size = max_size or C.TEST.MAX_SIZE
+    if len(t_sizes) > 1:
+        print(f'multi-scale test pyramid: SCALES={t_sizes}')
 
     import PIL.Image
     raw_shapes = []
@@ -200,19 +245,34 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
                 keys_i, jnp.asarray(padded_raw)[None],
                 jnp.asarray([[h0, w0]], jnp.int32))
             noisy = np.asarray(noisy[0])[:h0, :w0]
-        # prep: mean subtract + min/max-side rescale (test.py:49-83)
-        imf, scale = prep_im_for_blob(
-            noisy, np.asarray(C.PIXEL_MEANS, np.float32), t_size, m_size)
-        h, w = imf.shape[:2]
-        img_bucket = bucket or derive_bucket(t_size, m_size,
-                                             portrait=h > w)
-        padded, (ph, pw) = pad_to_bucket(imf, img_bucket)
-        im_info = jnp.asarray([ph, pw, scale], jnp.float32)
-        out = model.forward_test(params, jnp.asarray(padded), im_info)
-        boxes_c, scores_c, mask_c = postprocess_detections(
-            out['rois'], out['roi_mask'], out['cls_prob'],
-            out['bbox_pred'], im_info, num_classes,
-            C.TEST.NMS, thresh, max_per_class=max_per_image)
+        # prep: mean subtract + min/max-side rescale (test.py:49-83),
+        # once per pyramid scale (one compiled bucket per scale)
+        levels = []
+        for ts in t_sizes:
+            imf, scale = prep_im_for_blob(
+                noisy, np.asarray(C.PIXEL_MEANS, np.float32), ts, m_size)
+            h, w = imf.shape[:2]
+            img_bucket = bucket or derive_bucket(ts, m_size,
+                                                 portrait=h > w)
+            padded, (ph, pw) = pad_to_bucket(imf, img_bucket)
+            im_info = jnp.asarray([ph, pw, scale], jnp.float32)
+            out = model.forward_test(params, jnp.asarray(padded), im_info)
+            levels.append((out, im_info, padded, ph, pw))
+        out, im_info, padded, ph, pw = levels[0]
+        if len(levels) == 1:
+            boxes_c, scores_c, mask_c = postprocess_detections(
+                out['rois'], out['roi_mask'], out['cls_prob'],
+                out['bbox_pred'], im_info, num_classes,
+                C.TEST.NMS, thresh, max_per_class=max_per_image)
+        else:
+            boxes_c, scores_c, mask_c = postprocess_detections_pyramid(
+                jnp.stack([o['rois'] for o, *_ in levels]),
+                jnp.stack([o['roi_mask'] for o, *_ in levels]),
+                jnp.stack([o['cls_prob'] for o, *_ in levels]),
+                jnp.stack([o['bbox_pred'] for o, *_ in levels]),
+                jnp.stack([info for _, info, *_ in levels]),
+                num_classes, C.TEST.NMS, thresh,
+                max_per_class=max_per_image)
         timers['im_detect'].toc()
 
         if feats is not None:
@@ -344,6 +404,12 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                              fast_rng=fast_rng)
     print(f'noise pipeline backend: {noise_fn.backend}')
     key = jax.random.PRNGKey(C.RNG_SEED)
+    if len(C.TEST.SCALES) > 1:
+        # the sequential harness implements the pyramid
+        # (postprocess_detections_pyramid); the chunked one evaluates a
+        # single scale, like the reference's im_detect (test.py:114)
+        raise NotImplementedError(
+            'multi-scale TEST.SCALES: use test_net (sequential pyramid)')
     t_size, m_size = C.TEST.SCALES[0], C.TEST.MAX_SIZE
     timers = {'im_detect': Timer(), 'misc': Timer()}
 

@@ -93,10 +93,16 @@ def _sep3_rows(x: jnp.ndarray, k0: float, k1: float) -> jnp.ndarray:
 
 
 def make_spatial_filter(mesh: Mesh, kind: str = 'median',
-                        axis: str = 'data'):
+                        axis: str = 'data', batch_axis: str | None = None):
     """Build `fn(images)` filtering (B, H, W, 3) images H-sharded over
     `axis`.  kind: 'median' | 'mean' | 'gaussian'.  Output sharding matches
-    the input.  H must divide by the axis size."""
+    the input.  H must divide by the axis size.
+
+    batch_axis: optional SECOND mesh axis to shard B over — the 2-D
+    spatial x data layout (SURVEY §2.3 "design the mesh axis anyway"):
+    halo ppermutes ride `axis` independently within each `batch_axis`
+    slice, so e.g. a (2, 4) ('data', 'spatial') mesh runs 2-way batch
+    parallelism with each image's rows split over 4 devices."""
     if kind == 'median':
         local = _median3_rows
         rounder = None  # value-selecting: already integer-valued
@@ -120,7 +126,7 @@ def make_spatial_filter(mesh: Mesh, kind: str = 'median',
         out = _stencil_with_halo(block, above, below, local)
         return rounder(out) if rounder is not None else out
 
-    spec = P(None, axis, None, None)  # shard H over the mesh axis
+    spec = P(batch_axis, axis, None, None)  # (B over batch_axis, H over axis)
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec,), out_specs=spec)
 
     @jax.jit
