@@ -199,6 +199,17 @@ def main(argv=None):
         f'  wd 1e-4, 2x bias LR), eval on {args.n_test} held-out images.',
         '- metric: VOC AP for class `person`, IoU 0.50:0.05:0.95 sweep',
         '  (`AP@.5` and the mean, ref lib/datasets/rrData.py:246-269).',
+        '- the three gaussian_gaus_blur rows are expected to be',
+        '  IDENTICAL: the reference redraws the gaussian level randomly',
+        '  per test image, ignoring the parsed var (quirk, ref',
+        '  test.py:1678-1682) — same key, same draws.  They are the',
+        "  gaussian family's live gate rows (the plain-gaussian rows",
+        '  score ~0 by the float-output quirk).',
+        '- the table is only comparable across rounds while the',
+        '  detection math and noise streams are frozen; regenerate and',
+        '  note the cause whenever either changes (e.g. the round-3',
+        '  roi_align Precision.HIGHEST fix changed training, so the',
+        '  round-4 regeneration trained a different model).',
         '',
         '| noise config | AP@.5 | AP@[.5,.95] |',
         '|---|---|---|',
