@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 
 _SPLIT = 10.0     # lam cutoff between inverse-CDF and PTRS
-_N_INV = 42       # inverse-CDF terms: P(Poisson(10) >= 42) ~ 4e-14
+# inverse-CDF terms: P(Poisson(10) >= 34) ~ 2.1e-9, below the resolution
+# of the 24-bit uniforms driving the inversion (2^-24 ~ 6e-8) — extra
+# terms past 34 are unreachable for all but ~3e-8 of draws (the top f32
+# ulp of u, where the accumulated cdf may sit one ulp under 1.0)
+_N_INV = 34
 _PTRS_ROUNDS = 4  # PTRS acceptance >= ~0.93 for lam >= 10
 
 
