@@ -123,6 +123,28 @@ def test_nms_packed_truncation_valid_and_chain():
     assert list(np.asarray(keep)[np.asarray(mask)]) == [0, 2]
 
 
+def test_nms_packed_presorted_matches_unsorted():
+    """presorted=True on score-sorted inputs == the argsort path == the
+    oracle (the proposal_layer fast path: candidates come out of top_k
+    already ordered).  Includes a masked tail like top_k's NEG_INF pad."""
+    rng = np.random.RandomState(11)
+    dets = _rand_dets(rng, 700)
+    order = np.argsort(-dets[:, 4], kind='stable')
+    sdets = dets[order]
+    valid = np.arange(700) < 650          # sorted-suffix invalid tail
+    want_keep, want_mask = nms_packed(sdets[:, :4], sdets[:, 4], 0.6,
+                                      max_outputs=100, valid=valid)
+    got_keep, got_mask = nms_packed(sdets[:, :4], sdets[:, 4], 0.6,
+                                    max_outputs=100, valid=valid,
+                                    presorted=True)
+    np.testing.assert_array_equal(np.asarray(got_mask),
+                                  np.asarray(want_mask))
+    np.testing.assert_array_equal(np.asarray(got_keep)[np.asarray(got_mask)],
+                                  np.asarray(want_keep)[np.asarray(want_mask)])
+    want = nms_py(sdets[valid], 0.6)[:100]
+    assert list(np.asarray(got_keep)[np.asarray(got_mask)]) == want
+
+
 @pytest.mark.parametrize('n,tile', [(512, 512), (1024, 512), (256, 128)])
 def test_packed_mask_builders_bit_identical(n, tile):
     """The Pallas tile kernel (interpret mode on CPU) and the XLA tile

@@ -238,18 +238,28 @@ def _mask_tile_kernel(thresh_ref, rows_ref, cols_ref, out_ref):
     tj = cols_ref.shape[1]
     i0 = pl.program_id(0) * ti
     j0 = pl.program_id(1) * tj
-    bx1, by1 = rows_ref[:, 0], rows_ref[:, 1]
-    bx2, by2 = rows_ref[:, 2], rows_ref[:, 3]
-    x1, y1 = cols_ref[0, :], cols_ref[1, :]
-    x2, y2 = cols_ref[2, :], cols_ref[3, :]
-    iou = _iou_tile(bx1, by1, bx2, by2, x1, y1, x2, y2)
-    i_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
-    j_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
-    m = (iou > thresh_ref[0]) & (i_ids < j_ids)
-    b3 = m.reshape(ti // _PACK, _PACK, tj).astype(jnp.int32)
-    shifts = jax.lax.broadcasted_iota(jnp.int32, (ti // _PACK, _PACK, tj),
-                                      1)
-    out_ref[...] = jnp.sum(b3 << shifts, axis=1)
+
+    # suppression is upper-triangular (i < j): tiles fully below the
+    # diagonal are identically zero — skip their IoU work (~half the grid
+    # at the 6k/12k RPN budgets)
+    @pl.when(i0 >= j0 + tj)
+    def _lower_triangle():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(i0 < j0 + tj)
+    def _compute():
+        bx1, by1 = rows_ref[:, 0], rows_ref[:, 1]
+        bx2, by2 = rows_ref[:, 2], rows_ref[:, 3]
+        x1, y1 = cols_ref[0, :], cols_ref[1, :]
+        x2, y2 = cols_ref[2, :], cols_ref[3, :]
+        iou = _iou_tile(bx1, by1, bx2, by2, x1, y1, x2, y2)
+        i_ids = i0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 0)
+        j_ids = j0 + jax.lax.broadcasted_iota(jnp.int32, (ti, tj), 1)
+        m = (iou > thresh_ref[0]) & (i_ids < j_ids)
+        b3 = m.reshape(ti // _PACK, _PACK, tj).astype(jnp.int32)
+        shifts = jax.lax.broadcasted_iota(
+            jnp.int32, (ti // _PACK, _PACK, tj), 1)
+        out_ref[...] = jnp.sum(b3 << shifts, axis=1)
 
 
 def build_suppression_masks_pallas(sboxes: jnp.ndarray, iou_threshold,
@@ -282,11 +292,13 @@ def build_suppression_masks_pallas(sboxes: jnp.ndarray, iou_threshold,
 
 
 @functools.partial(jax.jit, static_argnames=('max_outputs', 'max_iters',
-                                             'use_pallas', 'interpret'))
+                                             'use_pallas', 'interpret',
+                                             'presorted'))
 def nms_packed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
                max_outputs: int, valid: jnp.ndarray | None = None,
                max_iters: int | None = None,
-               use_pallas: bool | None = None, interpret: bool = False):
+               use_pallas: bool | None = None, interpret: bool = False,
+               presorted: bool = False):
     """Exact greedy NMS via bit-packed suppression masks + fixpoint sweeps.
 
     Same contract and result as `nms_fixpoint` (proven equal to the
@@ -296,6 +308,11 @@ def nms_packed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
 
     use_pallas None = auto (Pallas tile kernel on TPU, XLA tile scan
     elsewhere); the two builders are bit-identical.
+
+    presorted=True asserts scores (after the valid mask) are already
+    non-increasing — true for proposal_layer, whose candidates come
+    straight out of lax.top_k — and skips the argsort + both
+    order-gathers (tests pin equality with the unsorted path).
     """
     n_in = boxes.shape[0]
     # NMS emits integer indices — no gradient ever flows through it.
@@ -318,9 +335,14 @@ def nms_packed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
     scores = jnp.pad(scores, (0, n - n_in), constant_values=NEG_INF)
     if max_iters is None:
         max_iters = n
-    order = jnp.argsort(-scores)
-    sboxes = boxes[order]
-    in_valid = scores[order] > NEG_INF
+    if presorted:
+        order = None                  # identity; pad rides at the end
+        sboxes = boxes
+        in_valid = scores > NEG_INF
+    else:
+        order = jnp.argsort(-scores)
+        sboxes = boxes[order]
+        in_valid = scores[order] > NEG_INF
 
     if use_pallas:
         masks = build_suppression_masks_pallas(sboxes, iou_threshold,
@@ -348,7 +370,10 @@ def nms_packed(boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold,
     keep_sorted = jnp.full((max_outputs,), -1, dtype=jnp.int32).at[slot].set(
         jnp.arange(n, dtype=jnp.int32), mode='drop')
     keep_mask = keep_sorted >= 0
-    keep = jnp.where(keep_mask, order[jnp.maximum(keep_sorted, 0)], -1)
+    if presorted:
+        keep = keep_sorted
+    else:
+        keep = jnp.where(keep_mask, order[jnp.maximum(keep_sorted, 0)], -1)
     return keep.astype(jnp.int32), keep_mask
 
 

@@ -56,8 +56,11 @@ def proposal_layer(rpn_scores: jnp.ndarray, rpn_deltas: jnp.ndarray,
     # bit-packed NMS: at the reference budgets (12,000 train / 6,000 test
     # pre-NMS boxes) the packed (K/32, K) uint32 suppression state is 32x
     # smaller than the dense IoU matrix — batch-8 DP training fits HBM
+    # top_k emits scores sorted descending (ties index-ascending, same as
+    # the stable argsort nms_packed would do) — skip the re-sort inside
     keep, keep_mask = nms_packed(top_boxes, top_scores, nms_thresh,
-                                 max_outputs=post_nms_top_n, valid=valid)
+                                 max_outputs=post_nms_top_n, valid=valid,
+                                 presorted=True)
     safe = jnp.maximum(keep, 0)
     rois = jnp.where(keep_mask[:, None], top_boxes[safe], 0.0)
     roi_scores = jnp.where(keep_mask, top_scores[safe], 0.0)
