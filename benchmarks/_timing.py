@@ -36,7 +36,11 @@ def time_chained_dispatches(fn, key, images, inner, reps=3,
     @jax.jit
     def run_once(k, images, acc):
         out = fn(k, images + acc * 0.0)
-        return acc + jnp.sum(out[0].astype(jnp.float32)) * readout_scale
+        # full-batch sum: an out[0] readout lets XLA dead-code-eliminate
+        # the other images' work for fusable elementwise pipelines
+        # (observed: single-spec gaussian measured ~0 while the scanned
+        # mix — which XLA cannot DCE per-step — measured it honestly)
+        return acc + jnp.sum(out.astype(jnp.float32)) * readout_scale
 
     def chain(n):
         acc = jnp.float32(0)

@@ -25,7 +25,11 @@ KINDS = ['original', 'gaussian_var1.0', 'poisson', 'sap_var0.4',
 def main():
     small = '--small' in sys.argv
     fast = '--fast-rng' in sys.argv
-    h, w, b, inner = (128, 160, 4, 2) if small else (600, 1000, 16, 2)
+    # inner x b images per blocking readback: at inner=2 the cheap kinds'
+    # signal (~6 ms) drowned in tunnel-RTT jitter and printed 0.000
+    # (round-3 misattribution); 8x16 images puts even 0.1 ms/img kinds
+    # at ~4x the jitter
+    h, w, b, inner = (128, 160, 4, 2) if small else (600, 1000, 16, 8)
     from tpudenoise.noise.pipeline import make_pipeline
     rng = np.random.RandomState(3)
     images = jax.device_put(jnp.asarray(
@@ -46,10 +50,12 @@ def main():
         def run_many(images):
             def step(c, i):
                 out = fn(jax.random.fold_in(key, i), images)
-                # full-sum readout: strided-slice readouts lower to a
-                # ~2 ms gather through the tunnel and poison small stages
-                return c + jnp.sum(out[0].astype(jnp.float32)) * 1e-9, \
-                    None
+                # full-BATCH sum: an out[0] readout let XLA dead-code-
+                # eliminate the other images' work for fusable
+                # elementwise kinds (they printed 0.000 in round 3);
+                # strided-slice READBACKS are the thing to avoid, an
+                # in-jit full sum costs one bandwidth pass
+                return c + jnp.sum(out.astype(jnp.float32)) * 1e-9, None
             c, _ = jax.lax.scan(step, jnp.float32(0), jnp.arange(inner))
             return c
         float(run_many(images))
@@ -64,10 +70,12 @@ def main():
 
     print(f'geometry {h}x{w} batch {b} fast_rng={fast}', flush=True)
     for kind in KINDS:
-        fn = make_pipeline(kind, mode='TRAIN', use_pallas=False,
-                           fast_rng=fast)
+        # default use_pallas (auto): time the PRODUCTION dispatch — the
+        # earlier use_pallas=False forced bloom onto the XLA scan
+        # compositor (~2 ms/img) the pipeline never runs on TPU
+        fn = make_pipeline(kind, mode='TRAIN', fast_rng=fast)
         ms = timeit(fn)
-        print(f'  {kind:22s} {ms:8.3f} ms/img', flush=True)
+        print(f'  {kind:22s} {ms:8.3f} ms/img ({fn.backend})', flush=True)
     for post in ('original_bilateral', 'original_wavelet'):
         fn = make_pipeline(post, mode='TRAIN', fast_rng=fast)
         ms = timeit(fn)
