@@ -56,6 +56,20 @@ def test_gaussian_moments_and_clip(img_u8):
     assert abs(out_mid.mean() - 0.5) < 0.005
 
 
+def test_u8_unique_count_exact():
+    """The fused 256-bit-presence count == numpy's unique over edge
+    cases (single value, dense low range, full range, sparse words)."""
+    rng = np.random.RandomState(5)
+    cases = [np.zeros((8, 8, 3), np.float32),
+             np.full((8, 8, 3), 255.0, np.float32),
+             rng.randint(0, 7, (16, 16, 3)).astype(np.float32),
+             rng.randint(0, 256, (40, 50, 3)).astype(np.float32),
+             (rng.randint(0, 8, (16, 16, 3)) * 33).astype(np.float32)]
+    for im in cases:
+        got = int(G._u8_unique_count(jax.numpy.asarray(im)))
+        assert got == len(np.unique(im.astype(np.uint8)))
+
+
 def test_poisson_vals_from_unique_count(img_u8):
     x01 = G.to_unit(img_u8)
     out = np.asarray(G.poisson(KEY, x01, img_u8))
