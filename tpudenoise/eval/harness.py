@@ -286,14 +286,17 @@ def test_net(model, params, imdb_obj, weights_filename: str, noise: str,
         timers['misc'].tic()
         bx = np.asarray(boxes_c)
         sc = np.asarray(scores_c)
-        mk = np.asarray(mask_c)
-        mk = limit_per_image(bx, sc, mk, max_per_image)
+        mk_pre = np.asarray(mask_c)
+        mk = limit_per_image(bx, sc, mk_pre, max_per_image)
         for j in range(1, num_classes):
             sel = mk[j - 1]
             dets = np.hstack([bx[j - 1][sel],
                               sc[j - 1][sel][:, None]]).astype(np.float32)
             all_boxes[j][i] = dets
-            _log_det_scores(dets, i)
+            # score summaries come from the PRE-cap detections: the
+            # reference writes them before the global max_per_image cap
+            # (ref test.py:1864-1874 precedes the cap at :1890-1897)
+            _log_det_scores(sc[j - 1][mk_pre[j - 1]][:, None], i)
         timers['misc'].toc()
         if (i + 1) % 20 == 0 or i == num_images - 1:
             print(f'im_detect: {i + 1:d}/{num_images:d} '
@@ -614,7 +617,9 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                 all_boxes[cls][i] = np.hstack(
                     [bx[j][cls - 1][sel],
                      sc[j][cls - 1][sel][:, None]]).astype(np.float32)
-                _log_det_scores(all_boxes[cls][i], i)
+                # pre-cap scores, matching the reference's summary order
+                # (ref test.py:1864-1874 precedes the cap at :1890-1897)
+                _log_det_scores(sc[j][cls - 1][mk[j][cls - 1]][:, None], i)
         timers['misc'].toc()
         done += n_real
         print(f'im_detect: {done:d}/{num_images:d} '

@@ -84,11 +84,17 @@ class MetricsLogger:
                          step: Optional[int] = None):
         """Scalar straight to tfevents/wandb, bypassing stdout/JSONL —
         for high-rate per-detection records (ref lib/model/test.py:
-        1871-1874 writes one 'score' summary per detection per image)."""
+        1871-1874 writes one 'score' summary per detection per image).
+
+        The explicit step goes to TensorBoard only: wandb requires
+        monotonically non-decreasing steps per run, so per-detection
+        eval scores stepped by image index interleaved with
+        training-step logs on a shared sink would be dropped (the
+        reference writes these summaries to tfevents only)."""
         if self._tb:
             self._tb.add_scalar(tag, float(value), global_step=step)
         if self._wandb:
-            self._wandb.log({tag: float(value)}, step=step)
+            self._wandb.log({tag: float(value)})
 
     def flush(self):
         if self._tb:
