@@ -288,6 +288,25 @@ def test_parse_levels():
 
 # ------------------------------------------------- fixed-round samplers --
 
+def test_stirling_lgamma_matches_lax():
+    """stirling_lgamma (8-step lift + Stirling series) vs lax.lgamma over
+    the PTRS argument range (cand + 1 for lam in [10, 256] reaches a few
+    sigma past lam): agreement to a few f32 ulps, relative."""
+    import jax
+    import jax.numpy as jnp
+    from tpudenoise.noise.fast_samplers import stirling_lgamma
+    z = jnp.concatenate([
+        jnp.linspace(0.5, 20.0, 2001),
+        jnp.linspace(20.0, 600.0, 2001),
+        jnp.asarray([1.0, 2.0, 1e4, 1e6]),
+    ])
+    got = np.asarray(stirling_lgamma(z))
+    want = np.asarray(jax.lax.lgamma(z.astype(jnp.float32)))
+    # lgamma(1)=lgamma(2)=0: absolute tolerance floor for the zeros
+    denom = np.maximum(np.abs(want), 1.0)
+    assert np.max(np.abs(got - want) / denom) < 5e-6
+
+
 def test_poisson_fixed_chi2_across_lam():
     """poisson_fixed (inverse-CDF < 10 <= PTRS) is distributionally exact:
     chi-square GoF vs scipy pmf across the split boundary and the u8 lam

@@ -102,6 +102,40 @@ def _normal(shape, salt: int, seed) -> jnp.ndarray:
         jnp.float32(2.0 * jnp.pi) * u2)
 
 
+def stirling_lgamma(z: jnp.ndarray) -> jnp.ndarray:
+    """lgamma(z) for z >= ~0.5 via an 8-step recurrence lift + Stirling.
+
+    `jax.lax.lgamma` costs ~30x a log on the TPU VPU and the PTRS
+    acceptance test needs one per round (4 per poisson field — ~0.4 ms
+    of the 1.65 ms/img poisson-in-mix cost at 600x1000).  Here:
+    lgamma(z) = lgamma(z+8) - log(z (z+1) ... (z+7)), with lgamma(t)
+    for t >= 8.5 from the Stirling series
+        (t-1/2) ln t - t + ln(2 pi)/2 + 1/(12 t) - 1/(360 t^3);
+    the next term is 1/(1260 t^5) <= 4e-9 at t = 8.5 — below f32
+    resolution of lgamma(8.5) ~ 9.6.  Two logs + ~16 flops total.
+    Max deviation vs lax.lgamma over [0.5, 1e6]: a few f32 ulps
+    (tests/test_noise.py pins it).  Negative/zero z produce garbage the
+    callers mask out (PTRS guards with `safe`, matching lax.lgamma's
+    pole behavior there).
+    """
+    z = z.astype(jnp.float32)
+    t = z + 8.0
+    inv = 1.0 / t
+    # product (z)(z+1)...(z+7) scaled by t^-8 so it never overflows f32
+    # (the t^8 rejoins the Stirling term as -8 ln t); guard z<=0 lanes
+    # against log(<=0) -> nan propagating into masked lanes' comparisons
+    pr = z * inv
+    for i in range(1, 8):
+        pr = pr * ((z + float(i)) * inv)
+    pr = jnp.maximum(pr, jnp.float32(1e-30))
+    inv2 = inv * inv
+    series = inv * (jnp.float32(1.0 / 12.0)
+                    - inv2 * jnp.float32(1.0 / 360.0))
+    half_log_2pi = jnp.float32(0.91893853320467274178)
+    return ((t - 8.5) * jnp.log(t) - t + half_log_2pi + series
+            - jnp.log(pr))
+
+
 def _poisson_inv_cdf(u: jnp.ndarray, lam: jnp.ndarray) -> jnp.ndarray:
     """Exact Poisson sampling by CDF inversion, valid for small lam.
 
@@ -154,7 +188,9 @@ def _poisson_ptrs(key, lam: jnp.ndarray, fast_bits: bool = False,
         # full acceptance test (guarded against us ~ 0 and cand < 0)
         safe = (cand >= 0.0) & ((us >= 0.013) | (v <= us))
         lhs = jnp.log(v * inv_alpha / (a / (us * us) + b))
-        rhs = -lam + cand * log_lam - jax.lax.lgamma(cand + 1.0)
+        # stream-preserving lgamma swap: same draws, acceptance boundary
+        # moves by a few f32 ulps (flips outcomes on ~1e-7 of lanes)
+        rhs = -lam + cand * log_lam - stirling_lgamma(cand + 1.0)
         accept = accept | (safe & (lhs <= rhs))
         take = accept & ~ok
         k = jnp.where(take, cand, k)
