@@ -283,154 +283,6 @@ def _apply_specs_batched(specs, keys, images, hw=None,
     return out
 
 
-class GroupedMix:
-    """Host-driven same-kind batching for mix plans.
-
-    The scanned-switch mix (`_apply_specs_batched`) serializes images:
-    each scan step runs ONE image's generator at batch 1.  When the
-    caller can reorder work (dataset eval, throughput benches), grouping
-    images by their drawn branch and running each group as ONE vmapped
-    dispatch recovers full-batch VPU occupancy for the heavy generators
-    (poisson/gamma/brownian/quant) — the entry DRAW is host-visible
-    because it depends only on the PRNG key, never the pixels.
-
-    Stream parity: `draw`/`draw_keyed` replicate the scan body's key
-    derivation exactly (split -> randint entry -> apply key), and
-    `apply_group` runs the same `apply_spec` branch with the same traced
-    level — outputs are bit-identical to the scanned pipeline, only the
-    dispatch structure differs (tests/test_grouped_mix.py).
-
-    Usage (see `run_grouped` for the reference composition):
-        gm = GroupedMix(plan, use_pallas=..., fast_rng=...)
-        branch, level, akeys = gm.draw(key, b)      # one device call
-        # host: group indices by branch, pad groups, then per group
-        out_g = gm.apply_group(t, akeys[sel], images[sel], level[sel])
-        out = gm.post(reassembled)                  # standalone post-pass
-    """
-
-    def __init__(self, plan: NoisePlan | str, mode: str = 'TEST',
-                 strict_ref: bool = False, use_pallas: bool | None = None,
-                 fast_rng: bool = False):
-        if use_pallas is None:
-            use_pallas = jax.default_backend() == 'tpu'
-        if isinstance(plan, str):
-            plan = parse(plan, mode=mode, strict_ref=strict_ref)
-        self.plan = plan
-        self.specs = plan.specs
-        self.use_pallas = bool(use_pallas)
-        self.fast_bits = bool(fast_rng)
-        (self.templates, self.traced, eb, el) = _group_specs(self.specs)
-        self._eb = jnp.asarray(eb)
-        self._el = jnp.asarray(el)
-        self.n_templates = len(self.templates)
-        self._unit_float = all(s.unit_float_output for s in self.specs)
-        self._apply_cache = {}
-        self.backend = ('grouped' + ('+pallas' if self.use_pallas else '')
-                        + ('+fast_rng' if self.fast_bits else ''))
-
-        e = len(self.specs)
-        eb_d, el_d = self._eb, self._el
-
-        def _per_image(k):
-            kc, ka = jax.random.split(k)
-            idx = jax.random.randint(kc, (), 0, e)
-            return eb_d[idx], el_d[idx], ka
-
-        @functools.partial(jax.jit, static_argnames=('n',))
-        def _draw(key, n: int):
-            # parity with make_pipeline.run: keys = split(key, B), then
-            # the scan body splits each
-            return jax.vmap(_per_image)(jax.random.split(key, n))
-
-        @jax.jit
-        def _draw_keyed(keys):
-            # parity with run_keyed/masked: per-image fold_in keys go
-            # through split(k, 1)[0] first
-            return jax.vmap(lambda k: _per_image(
-                jax.random.split(k, 1)[0]))(keys)
-
-        self.draw = _draw
-        self.draw_keyed = _draw_keyed
-
-    def apply_group(self, t: int, keys, images, levels, hw=None):
-        """Apply template branch `t` to a same-branch group (vmapped).
-        keys: the apply keys from draw(); levels: per-image traced levels
-        (ignored by non-traced templates); hw: optional valid extents for
-        bucket-padded canvases."""
-        fn = self._apply_cache.get((t, hw is not None))
-        if fn is None:
-            s, tr = self.templates[t], self.traced[t]
-            up, fb = self.use_pallas, self.fast_bits
-            if hw is not None:
-                f = (lambda k, im, e, lv: apply_spec(
-                    s, k, im, hw=e, use_pallas=up, fast_bits=fb,
-                    level=lv if tr else None))
-            else:
-                f = (lambda k, im, lv: apply_spec(
-                    s, k, im, use_pallas=up, fast_bits=fb,
-                    level=lv if tr else None))
-            fn = jax.jit(jax.vmap(f))
-            self._apply_cache[(t, hw is not None)] = fn
-        if hw is not None:
-            return fn(keys, images, hw, levels)
-        return fn(keys, images, levels)
-
-    def post(self, images, hw=None):
-        return _post_batched_for(
-            self.plan, self._unit_float,
-            pallas_bilateral=self.use_pallas)(images, hw=hw)
-
-    def run_grouped(self, key, images, keys=None, hw=None,
-                    group_pad: int = 4):
-        """Reference composition: draw -> host grouping (groups padded to
-        multiples of `group_pad` by repeating the last index, padded
-        results dropped) -> per-group vmapped dispatch -> inverse-perm
-        reassembly -> post-pass.  All device steps dispatch
-        asynchronously; nothing blocks until the caller reads the result
-        — EXCEPT the branch readback of the draw, so callers processing
-        many batches should pre-draw once (one readback per dataset) and
-        call apply_grouped per batch.
-
-        keys: optional per-image fold_in keys (the eval-harness path);
-        default draws from `key` like make_pipeline.run."""
-        b = images.shape[0]
-        if keys is None:
-            branch, level, akeys = self.draw(key, b)
-        else:
-            branch, level, akeys = self.draw_keyed(keys)
-        branch_h = np.asarray(branch)  # one tiny blocking readback
-        return self.apply_grouped(branch_h, level, akeys, images, hw=hw,
-                                  group_pad=group_pad)
-
-    def apply_grouped(self, branch_h, level, akeys, images, hw=None,
-                      group_pad: int = 4):
-        """Grouped application given HOST branch values (pre-drawn):
-        per-branch vmapped dispatches + inverse-perm reassembly + post.
-        Everything dispatches asynchronously."""
-        b = images.shape[0]
-        order, outs = [], []
-        for t in range(self.n_templates):
-            idxs = np.nonzero(branch_h == t)[0]
-            if idxs.size == 0:
-                continue
-            n_real = idxs.size
-            pad = (-n_real) % group_pad
-            idxs_p = np.concatenate([idxs, np.repeat(idxs[-1:], pad)])
-            sel = jnp.asarray(idxs_p)
-            out = self.apply_group(
-                t, akeys[sel], jnp.take(images, sel, axis=0),
-                jnp.take(level, sel),
-                hw=None if hw is None else jnp.take(hw, sel, axis=0))
-            outs.append(out[:n_real])
-            order.append(idxs)
-        perm = np.concatenate(order)
-        inv = np.empty_like(perm)
-        inv[perm] = np.arange(b)
-        out = jnp.take(jnp.concatenate(outs, axis=0),
-                       jnp.asarray(inv), axis=0)
-        return self.post(out, hw=hw)
-
-
 def _post_batched_for(plan: NoisePlan, unit_float: bool,
                       pallas_bilateral: bool = False):
     """The standalone post-pass over a (possibly mixed) batch — the SAME
