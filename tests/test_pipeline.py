@@ -132,7 +132,9 @@ def test_pallas_backend_selection():
         'sap_median_var0.4': 'pallas:sap_median',
         'gaussian_gaus_blur_var0.1': 'pallas:gaussian_blur',
         'speckle_bilateral_var1.0': 'pallas:bilateral_x2',
-        'noise_mix_var_medium_bilateral': 'pallas:bilateral_x1',
+        'noise_mix_var_medium_bilateral': 'pallas:fused_mix+bilateral',
+        'noise_mix_var_low': 'pallas:fused_mix',
+        'noise_mix_var_medium_wavelet': 'pallas:fused_mix',
     }
     for noise, backend in cases.items():
         fn = make_pipeline(noise, mode='TRAIN', use_pallas=True)

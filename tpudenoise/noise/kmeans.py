@@ -106,6 +106,65 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 15,
     return centers, labels
 
 
+K_PAD = 10  # max cluster count in the reference grammar (quant_var10)
+
+
+def kmeans_fit_traced_k(key, points: jnp.ndarray, kk) -> tuple:
+    """The `kmeans` fit with the cluster count as TRACED data.
+
+    points: (S, D) float32 — the (already-subsampled) fit set; kk: traced
+    int32 in [1, K_PAD].  Returns (centers (K_PAD, D), active (K_PAD,)
+    bool).  Stream parity with the static-k `kmeans` fit is exact: the
+    init scan consumes one key split per step regardless of k in both
+    versions, so for the same key and fit set the first kk centers are
+    bit-identical to `kmeans(key, pts, k=kk)` (tests/test_pallas_mix.py
+    pins it).  Used by the fused Pallas mix kernel's prologue, where the
+    drawn quant level (k in {3, 7, 10}) is per-image data.
+    """
+    n = points.shape[0]
+    active = jnp.arange(K_PAD) < kk
+
+    key, sub = jax.random.split(key)
+    first = points[jax.random.randint(sub, (), 0, n)]
+    centers0 = jnp.zeros((K_PAD, points.shape[1]),
+                         points.dtype).at[0].set(first)
+    d2_0 = jnp.sum((points - first) ** 2, axis=-1)
+
+    def init_step(carry, i):
+        centers, d2, key = carry
+        key, sub = jax.random.split(key)
+        logits = jnp.log(jnp.maximum(d2, 1e-12))
+        g = jax.random.gumbel(sub, (n,))
+        idx = jnp.argmax(logits + g)
+        c = points[idx]
+        live = i < kk
+        centers = jnp.where(live, centers.at[i].set(c), centers)
+        d2 = jnp.where(live,
+                       jnp.minimum(d2, jnp.sum((points - c) ** 2, -1)), d2)
+        return (centers, d2, key), None
+
+    (centers, _, key), _ = jax.lax.scan(
+        init_step, (centers0, d2_0, key), jnp.arange(1, K_PAD), unroll=3)
+
+    x2 = jnp.sum(points ** 2, axis=-1, keepdims=True)
+    inf = jnp.float32(jnp.inf)
+
+    def lloyd(centers, _):
+        c2 = jnp.sum(centers ** 2, axis=-1)
+        d = x2 - 2.0 * points @ centers.T + c2[None, :]
+        d = jnp.where(active[None, :], d, inf)
+        labels = jnp.argmin(d, axis=-1)
+        onehot = jax.nn.one_hot(labels, K_PAD, dtype=points.dtype)
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ points
+        new_centers = sums / jnp.maximum(counts[:, None], 1.0)
+        new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
+        return jnp.where(active[:, None], new_centers, centers), None
+
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=15, unroll=5)
+    return centers, active
+
+
 def quantize_colors(key, img_u8: jnp.ndarray, k: int,
                     iters: int = 15, hw=None) -> jnp.ndarray:
     """The 'quant' noise: BGR->LAB, k-means palette, truncate centers to u8,

@@ -307,6 +307,76 @@ def _post_batched_for(plan: NoisePlan, unit_float: bool,
     return post
 
 
+def _fused_mix_pipeline(plan: NoisePlan, interpret: bool = False):
+    """Mixed-noise plans through the fused Pallas mix kernel
+    (noise/pallas_mix.py): per-image branch dispatch inside ONE batched
+    HBM pass, with the bilateral post-pass fused into the same pass when
+    the plan asks for it.  Replaces the scanned-switch XLA program
+    (~0.5 ms/img of noise at 600x1000) on TPU; the XLA path remains the
+    stream/parity reference (use_pallas=False).
+
+    Entry-draw chain is bit-identical to the scanned switch; pixel
+    streams are coordinate-hash (statistically pinned per kind,
+    tests/test_pallas_mix.py).  The bucketed `masked` path keeps the XLA
+    program: its per-image valid-extent semantics (noise following the
+    un-padded geometry) are not worth a second kernel variant while eval
+    is detector-bound.
+    """
+    from tpudenoise.noise.pallas_mix import (fused_mix_bilateral,
+                                             fused_mix_noise,
+                                             mix_prologue, plan_tables)
+    specs = plan.specs
+    kinds, eb, el = plan_tables(specs)
+    unit_float = all(s.unit_float_output for s in specs)
+    fuse_bilateral = plan.post_denoise == Denoise.BILATERAL
+    if fuse_bilateral or plan.post_denoise == Denoise.NONE:
+        post = None
+    else:
+        # wavelet/curvelet/stencil post-passes run on the fused noise
+        # output exactly as they would on the scanned switch's
+        post = _post_batched_for(plan, unit_float)
+
+    def _apply(keys, images):
+        branch, level, seeds, vals, centers, bloom = mix_prologue(
+            keys, images, kinds, eb, el)
+        if fuse_bilateral:
+            return fused_mix_bilateral(images, branch, level, seeds,
+                                       vals, centers, bloom, kinds,
+                                       interpret=interpret)
+        out = fused_mix_noise(images, branch, level, seeds, vals,
+                              centers, bloom, kinds, interpret=interpret)
+        return out if post is None else post(out)
+
+    @jax.jit
+    def run(key, images):
+        keys = jax.random.split(key, images.shape[0])
+        return _apply(keys, images)
+
+    @jax.jit
+    def run_keyed(keys, images):
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+        return _apply(ks, images)
+
+    # bucketed path: the XLA scanned switch for the noise (see
+    # docstring), with the post-pass still riding the batched Pallas
+    # stencil where it exists (bilateral)
+    _post_batched = _post_batched_for(plan, unit_float,
+                                      pallas_bilateral=fuse_bilateral)
+
+    @jax.jit
+    def run_masked(keys, images, hw):
+        ks = jax.vmap(lambda k: jax.random.split(k, 1)[0])(keys)
+        return _post_batched(
+            _apply_specs_batched(specs, ks, images, hw, use_pallas=True),
+            hw=hw)
+
+    run.keyed = run_keyed
+    run.masked = run_masked
+    run.backend = ('pallas:fused_mix'
+                   + ('+bilateral' if fuse_bilateral else ''))
+    return run
+
+
 def _pallas_bilateral_pipeline(specs, n_stages: int,
                                fast_bits: bool = False):
     """Noise in the XLA program (scanned per-image lax.switch for mixes);
@@ -499,12 +569,14 @@ def make_pipeline(plan: NoisePlan | str, mode: str = 'TEST',
                                               fast_bits)
 
     if use_pallas and len(specs) > 1:
-        # mixed-noise batch + bilateral post-pass (BASELINE.json config 3
-        # shape): per-image lax.switch over generators, then the batched
-        # Pallas bilateral once over the whole mixed batch
-        if (plan.post_denoise == Denoise.BILATERAL
-                and all(s.denoise == Denoise.NONE for s in specs)):
-            return _pallas_bilateral_pipeline(specs, 1, fast_bits)
+        # mixed-noise plans (BASELINE.json configs 3/5 shape): the fused
+        # Pallas mix kernel — per-image branch dispatch in one batched
+        # HBM pass, bilateral post fused into the same pass.  Covers
+        # every mix the grammar produces (in-mix tokens never carry a
+        # per-spec denoise and never use the randomized gaussian level).
+        if (all(s.denoise == Denoise.NONE and not s.is_random_level
+                for s in specs)):
+            return _fused_mix_pipeline(plan)
     unit_float = all(s.unit_float_output for s in specs)
     # bilateral posts that reach this generic path already bypassed the
     # Pallas routing above (they coexist with non-bilateral stages), so

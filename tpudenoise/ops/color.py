@@ -12,14 +12,17 @@ convention, like the reference).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-# sRGB D65 primaries (OpenCV/IEC 61966-2-1 constants)
-_RGB2XYZ = jnp.array([[0.412453, 0.357580, 0.180423],
-                      [0.212671, 0.715160, 0.072169],
-                      [0.019334, 0.119193, 0.950227]], jnp.float32)
-_XYZ2RGB = jnp.array([[3.240479, -1.53715, -0.498535],
-                      [-0.969256, 1.875991, 0.041556],
-                      [0.055648, -0.204043, 1.057311]], jnp.float32)
+# sRGB D65 primaries (OpenCV/IEC 61966-2-1 constants) — numpy on purpose:
+# a module-level jnp array would become a leaked tracer if the module is
+# first imported inside a trace (mix_prologue imports this lazily)
+_RGB2XYZ = np.array([[0.412453, 0.357580, 0.180423],
+                     [0.212671, 0.715160, 0.072169],
+                     [0.019334, 0.119193, 0.950227]], np.float32)
+_XYZ2RGB = np.array([[3.240479, -1.53715, -0.498535],
+                     [-0.969256, 1.875991, 0.041556],
+                     [0.055648, -0.204043, 1.057311]], np.float32)
 _XN, _ZN = 0.950456, 1.088754
 
 
