@@ -87,8 +87,12 @@ def test_pyramid_single_level_matches_flat():
 
 def test_test_net_multiscale_end_to_end(tmp_path):
     """test_net with SCALES=(120, 150) runs the pyramid (two compiled
-    buckets), merges detections, and completes the AP sweep; the batched
-    harness refuses multi-scale explicitly."""
+    buckets), merges detections, and completes the AP sweep; the BATCHED
+    harness runs the same pyramid (noise once per chunk, one prep+forward
+    per scale, merged per-class NMS) and must reproduce the sequential
+    detections — bit-tight on the host-prep leg, sub-pixel-aggregate on
+    the device-prep leg (ops/resize.py's <= ~0.05 u8 deviation at
+    scale != 1)."""
     from tpudenoise.core.config import default_config, get_output_dir
     from tpudenoise.data.voc_like import rrData
     from tpudenoise.eval.harness import test_net, test_net_batched
@@ -108,17 +112,48 @@ def test_test_net_multiscale_end_to_end(tmp_path):
     params = m.init(jax.random.PRNGKey(0), image_shape=(128, 160))
     d = rrData('test', '2021', config=cfg)
     d.competition_mode(True)
-    res = test_net(m, params, d, 'pyr', 'original', config=cfg)
+    res = test_net(m, params, d, 'pyr', 'original', config=cfg,
+                   bucket=(160, 224))
     assert res is not None
 
     import os.path as osp
     import pickle
-    with open(osp.join(get_output_dir(d.name, 'pyr', cfg),
-                       'detections.pkl'), 'rb') as f:
-        dets = pickle.load(f)
+
+    def _load(tag):
+        with open(osp.join(get_output_dir(d.name, tag, cfg),
+                           'detections.pkl'), 'rb') as f:
+            return pickle.load(f)
+
+    dets = _load('pyr')
     n = sum(len(dets[c][i]) for c in range(1, len(dets))
             for i in range(len(dets[0])))
     assert n > 0, 'pyramid eval produced no detections'
 
-    with pytest.raises(NotImplementedError):
-        test_net_batched(m, params, d, 'pyr_b', 'original', config=cfg)
+    d2 = rrData('test', '2021', config=cfg)
+    d2.competition_mode(True)
+    test_net_batched(m, params, d2, 'pyr_bh', 'original', eval_batch=3,
+                     config=cfg, bucket=(160, 224), device_prep=False)
+    bat = _load('pyr_bh')
+    for cls in range(1, len(dets)):
+        for i in range(len(dets[cls])):
+            a, b = np.asarray(dets[cls][i]), np.asarray(bat[cls][i])
+            assert a.shape == b.shape, (cls, i, a.shape, b.shape)
+            if a.size:
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-3)
+
+    d3 = rrData('test', '2021', config=cfg)
+    d3.competition_mode(True)
+    test_net_batched(m, params, d3, 'pyr_bd', 'original', eval_batch=3,
+                     config=cfg, bucket=(160, 224))
+    dev = _load('pyr_bd')
+    matched = total = 0
+    for cls in range(1, len(dets)):
+        for i in range(len(dets[cls])):
+            a = np.asarray(dets[cls][i])
+            c = np.asarray(dev[cls][i])
+            assert abs(len(a) - len(c)) <= 1, (cls, i, len(a), len(c))
+            for row in (a if a.size else np.zeros((0, 5))):
+                total += 1
+                if c.size and np.min(np.abs(c - row[None]).max(1)) < 0.5:
+                    matched += 1
+    assert total == 0 or matched / total >= 0.85, (matched, total)

@@ -354,7 +354,16 @@ def _batched_eval_fns(model, num_classes, nms, thresh, max_per_image):
                 rois, mask, prob, pred, info, num_classes, nms,
                 thresh, max_per_class=max_per_image),
             in_axes=(0, 0, 0, 0, 0)))
-        cache[key] = (fwd, post)
+        # multi-scale merge: per image, pool the pyramid levels' decoded
+        # candidates and run ONE per-class NMS over the union (level
+        # arrays stacked on axis 1: (B, S, R, ...))
+        post_pyr = jax.jit(jax.vmap(
+            lambda rois, mask, prob, pred, info:
+            postprocess_detections_pyramid(
+                rois, mask, prob, pred, info, num_classes, nms,
+                thresh, max_per_class=max_per_image),
+            in_axes=(0, 0, 0, 0, 0)))
+        cache[key] = (fwd, post, post_pyr)
     return cache[key]
 
 
@@ -407,13 +416,15 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
                              fast_rng=fast_rng)
     print(f'noise pipeline backend: {noise_fn.backend}')
     key = jax.random.PRNGKey(C.RNG_SEED)
-    if len(C.TEST.SCALES) > 1:
-        # the sequential harness implements the pyramid
-        # (postprocess_detections_pyramid); the chunked one evaluates a
-        # single scale, like the reference's im_detect (test.py:114)
-        raise NotImplementedError(
-            'multi-scale TEST.SCALES: use test_net (sequential pyramid)')
-    t_size, m_size = C.TEST.SCALES[0], C.TEST.MAX_SIZE
+    # full TEST.SCALES pyramid, batched: noise runs ONCE per chunk at
+    # the original resolution, then one device-prep + vmapped forward per
+    # scale (one compiled program per scale), merged per image through
+    # postprocess_detections_pyramid — same semantics as the sequential
+    # pyramid (ref _get_image_blob loops the tuple, test.py:49-83)
+    t_sizes = tuple(C.TEST.SCALES)
+    t_size, m_size = t_sizes[0], C.TEST.MAX_SIZE
+    if len(t_sizes) > 1:
+        print(f'multi-scale test pyramid: SCALES={t_sizes}')
     timers = {'im_detect': Timer(), 'misc': Timer()}
 
     if mesh == 'auto':
@@ -478,15 +489,45 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
         _chunk_progs[img_bucket] = run
         return run
 
-    def _geom_for(h0, w0):
+    _prep_progs = {}
+
+    def _prep_prog(img_bucket):
+        """Device prep (mean-subtract + rescale + bucket pad) from an
+        ALREADY-noisy device batch — the per-scale stage of the batched
+        pyramid, memoized per bucket so the noise program runs once per
+        chunk and each scale reuses its own compiled prep."""
+        if img_bucket in _prep_progs:
+            return _prep_progs[img_bucket]
+        from tpudenoise.ops.resize import prep_on_device
+
+        def body(noisy, geom):
+            return jax.vmap(lambda im, g: prep_on_device(
+                im, g[0], g[1], g[2], g[3], g[4], pixel_means,
+                img_bucket))(noisy, geom)
+
+        @jax.jit
+        def run(noisy, geom):
+            if mesh is None:
+                return body(noisy, geom)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            return shard_map(body, mesh=mesh,
+                             in_specs=(P('data'), P('data')),
+                             out_specs=P('data'))(noisy, geom)
+
+        _prep_progs[img_bucket] = run
+        return run
+
+    def _geom_for(h0, w0, ts):
         """prep_im_for_blob's double-precision geometry rule (scale, oh,
         ow) — computed on host so im_info is bit-identical to the cv2
         path (np.round == cvRound: both half-to-even)."""
         from tpudenoise.utils.blob import rescale_geometry
-        return rescale_geometry(h0, w0, t_size, m_size)
+        return rescale_geometry(h0, w0, ts, m_size)
 
-    fwd, post = _batched_eval_fns(model, num_classes, C.TEST.NMS, thresh,
-                                  max_per_image)
+    fwd, post, post_pyr = _batched_eval_fns(model, num_classes,
+                                            C.TEST.NMS, thresh,
+                                            max_per_image)
 
     # group by noise shape: the exact original size when the dataset has
     # one, else the per-orientation noise bucket (<= 2 noise programs on
@@ -549,16 +590,11 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             idx_dev = jax.device_put(idx_dev, data_sh)
             if hw_dev is not None:
                 hw_dev = jax.device_put(hw_dev, data_sh)
-        if device_prep:
-            # noise + prep + pad in one program; the batch never
-            # returns to the host between noise and the detector
-            h0, w0 = raw_shapes[chunk[0]]
-            img_bucket = bucket or derive_bucket(t_size, m_size,
-                                                 portrait=h0 > w0)
+        def _scale_geom(ts, img_bucket):
             geom, info_rows = [], []
             for i in chunk:
                 hi, wi = raw_shapes[i]
-                s, ph, pw = _geom_for(hi, wi)
+                s, ph, pw = _geom_for(hi, wi, ts)
                 # the host path's pad_to_bucket assertion, kept here: a
                 # too-small bucket would otherwise silently zero-truncate
                 # the image edge (resize_weights zero-fills past the
@@ -572,35 +608,68 @@ def test_net_batched(model, params, imdb_obj, weights_filename: str,
             if data_sh is not None:
                 geom_dev = jax.device_put(geom_dev, data_sh)
                 infos = jax.device_put(infos, data_sh)
-            imgs = _noise_chunk_prog(img_bucket)(
-                key, idx_dev, raw_dev, hw_dev, geom_dev)
+            return geom_dev, infos
+
+        per_scale = []  # [(imgs, infos)] per pyramid level
+        if device_prep:
+            h0, w0 = raw_shapes[chunk[0]]
+            if len(t_sizes) == 1:
+                # noise + prep + pad in one program; the batch never
+                # returns to the host between noise and the detector
+                img_bucket = bucket or derive_bucket(t_size, m_size,
+                                                     portrait=h0 > w0)
+                geom_dev, infos = _scale_geom(t_size, img_bucket)
+                per_scale.append((_noise_chunk_prog(img_bucket)(
+                    key, idx_dev, raw_dev, hw_dev, geom_dev), infos))
+            else:
+                # pyramid: noise ONCE at original resolution, then one
+                # device prep per scale — all device-to-device
+                noisy = _noise_chunk_prog(None)(key, idx_dev, raw_dev,
+                                                hw_dev)
+                for ts in t_sizes:
+                    img_bucket = bucket or derive_bucket(
+                        ts, m_size, portrait=h0 > w0)
+                    geom_dev, infos = _scale_geom(ts, img_bucket)
+                    per_scale.append(
+                        (_prep_prog(img_bucket)(noisy, geom_dev), infos))
         else:
             noisy = np.asarray(_noise_chunk_prog(None)(
                 key, idx_dev, raw_dev, hw_dev))
-            imgs, infos = [], []
-            img_bucket = None
-            for j in range(len(chunk)):
-                nj = noisy[j]
-                if noise_buckets:
-                    hj, wj = raw_shapes[chunk[j]]
-                    nj = nj[:hj, :wj]
-                imf, scale = prep_im_for_blob(
-                    nj, pixel_means, t_size, m_size)
-                h, w = imf.shape[:2]
-                img_bucket = bucket or derive_bucket(
-                    t_size, m_size, portrait=h > w)
-                padded, (ph, pw) = pad_to_bucket(imf, img_bucket)
-                imgs.append(padded)
-                infos.append((ph, pw, scale))
-            imgs = jnp.asarray(np.stack(imgs))
-            infos = jnp.asarray(np.asarray(infos, np.float32))
-            if data_sh is not None:
-                imgs = jax.device_put(imgs, data_sh)
-                infos = jax.device_put(infos, data_sh)
-        out = fwd(params, imgs, infos)
-        boxes_c, scores_c, mask_c = post(
-            out['rois'], out['roi_mask'], out['cls_prob'],
-            out['bbox_pred'], infos)
+            for ts in t_sizes:
+                imgs, infos = [], []
+                for j in range(len(chunk)):
+                    nj = noisy[j]
+                    if noise_buckets:
+                        hj, wj = raw_shapes[chunk[j]]
+                        nj = nj[:hj, :wj]
+                    imf, scale = prep_im_for_blob(
+                        nj, pixel_means, ts, m_size)
+                    h, w = imf.shape[:2]
+                    img_bucket = bucket or derive_bucket(
+                        ts, m_size, portrait=h > w)
+                    padded, (ph, pw) = pad_to_bucket(imf, img_bucket)
+                    imgs.append(padded)
+                    infos.append((ph, pw, scale))
+                imgs = jnp.asarray(np.stack(imgs))
+                infos = jnp.asarray(np.asarray(infos, np.float32))
+                if data_sh is not None:
+                    imgs = jax.device_put(imgs, data_sh)
+                    infos = jax.device_put(infos, data_sh)
+                per_scale.append((imgs, infos))
+        outs = [fwd(params, im_s, in_s) for im_s, in_s in per_scale]
+        imgs, infos = per_scale[0]
+        if len(outs) == 1:
+            out = outs[0]
+            boxes_c, scores_c, mask_c = post(
+                out['rois'], out['roi_mask'], out['cls_prob'],
+                out['bbox_pred'], infos)
+        else:
+            boxes_c, scores_c, mask_c = post_pyr(
+                jnp.stack([o['rois'] for o in outs], axis=1),
+                jnp.stack([o['roi_mask'] for o in outs], axis=1),
+                jnp.stack([o['cls_prob'] for o in outs], axis=1),
+                jnp.stack([o['bbox_pred'] for o in outs], axis=1),
+                jnp.stack([in_s for _, in_s in per_scale], axis=1))
         timers['im_detect'].toc()
 
         timers['misc'].tic()
