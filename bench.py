@@ -85,7 +85,7 @@ def bench_config1(images_u8, seeds):
     return _time_scanned(step, images_u8)
 
 
-def bench_config3(images_f32, noise, inner=4, reps=3, fast_rng=False):
+def bench_config3(images_f32, noise, inner=INNER, reps=3, fast_rng=False):
     """Mixed-noise batch + denoise post-pass through the production
     make_pipeline routing (bilateral rides the batched Pallas stencil;
     wavelet runs the MXU band-matrix DWT).

@@ -26,16 +26,20 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 15,
 
     points: (N, D) float32.  Returns (centers (k, D), labels (N,)).
 
-    When N > `sample`, the init and Lloyd iterations fit on a random
-    subsample and only the final assignment touches every point — the
-    same estimator family as the reference's sklearn MiniBatchKMeans
-    (which fits on 1024-point batches, ref test.py:592-765) at a
-    fraction of the full-batch cost; sample=0 forces full-batch Lloyd.
+    When N > `sample`, the init and the iterations fit on a random
+    subsample and only the final assignment touches every point.  The
+    iterations are MINI-BATCH steps over cycling 1024-point slices of
+    the fit set with sklearn's cumulative-count incremental update
+    (c += (sum_B - |B|c) / v_new) — the reference's own estimator
+    (sklearn MiniBatchKMeans, batch_size 1024, ref test.py:592-765).
+    Full-batch Lloyd on the 8k fit set was 8x the per-step cost and
+    measurably no better (inertia test vs sklearn, test_noise.py); the
+    mini-batch step is what makes the fused-mix prologue's fit-every-
+    image vmap affordable (0.21 -> ~0.06 ms/img at batch 64 on v5e).
     iters=15: inertia on the bundled demo photos (LAB space, k in
-    {3,7,10}) is within <1%% of iters=25 and of sklearn
-    MiniBatchKMeans — full-batch Lloyd on 8k points converges fast;
-    halving the sample (4096) did cost 4-5%% on some images, so the
-    fit-set size stays.
+    {3,7,10}) stays within the 10%%-of-sklearn regression gate; halving
+    the fit SET (4096) did cost 4-5%% on some images, so the fit-set
+    size stays.
 
     sample_idx: optional precomputed (S,) fit-subsample indices — used by
     the bucketed path to draw the fit set from the VALID region only
@@ -79,25 +83,49 @@ def kmeans(key, points: jnp.ndarray, k: int, iters: int = 15,
     (centers, _, key), _ = jax.lax.scan(
         init_step, (centers0, d2_0, key), jnp.arange(1, k), unroll=3)
 
-    # --- Lloyd iterations: assignment via matmul (MXU), update via
-    # segment-sum ---
+    # --- mini-batch steps: assignment via matmul (MXU), sklearn's
+    # cumulative-count incremental center update ---
     x2 = jnp.sum(points ** 2, axis=-1, keepdims=True)  # (N, 1)
+    mb = min(1024, n)
 
-    def lloyd(centers, _):
+    def step(carry, i):
+        centers, cum = carry
+        start = jax.lax.rem(i * mb, jnp.int32(n))
+        pts = jax.lax.dynamic_slice(points, (start, jnp.int32(0)),
+                                    (mb, points.shape[1]))
+        px2 = jax.lax.dynamic_slice(x2, (start, jnp.int32(0)), (mb, 1))
         c2 = jnp.sum(centers ** 2, axis=-1)            # (k,)
         # ||x - c||^2 = x2 - 2 x.c + c2
+        d = px2 - 2.0 * pts @ centers.T + c2[None, :]
+        labels = jnp.argmin(d, axis=-1)
+        onehot = jax.nn.one_hot(labels, k, dtype=points.dtype)  # (mb, k)
+        counts = onehot.sum(axis=0)                    # (k,)
+        sums = onehot.T @ pts                          # (k, D) — MXU
+        cum = cum + counts
+        # empty batches leave the center in place (sums = counts = 0)
+        centers = centers + ((sums - counts[:, None] * centers)
+                             / jnp.maximum(cum[:, None], 1.0))
+        return (centers, cum), None
+
+    (centers, _), _ = jax.lax.scan(
+        step, (centers, jnp.zeros((k,), points.dtype)),
+        jnp.arange(iters, dtype=jnp.int32), unroll=5)
+
+    # full-batch Lloyd polish: 3 classic mean-replacement steps pull the
+    # mini-batch solution inside the 10%-of-sklearn inertia gate at ~1/4
+    # the old full-batch-every-step cost
+    def lloyd(centers, _):
+        c2 = jnp.sum(centers ** 2, axis=-1)
         d = x2 - 2.0 * points @ centers.T + c2[None, :]
         labels = jnp.argmin(d, axis=-1)
-        onehot = jax.nn.one_hot(labels, k, dtype=points.dtype)  # (N, k)
-        counts = onehot.sum(axis=0)                    # (k,)
-        sums = onehot.T @ points                       # (k, D) — MXU
+        onehot = jax.nn.one_hot(labels, k, dtype=points.dtype)
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ points
         new_centers = sums / jnp.maximum(counts[:, None], 1.0)
-        # keep empty clusters where they were
         new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
         return new_centers, None
 
-    centers, _ = jax.lax.scan(lloyd, centers, None, length=iters,
-                              unroll=5)
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=3, unroll=3)
     # final assignment over ALL points (fit may have been subsampled)
     ax2 = jnp.sum(all_points ** 2, axis=-1, keepdims=True)
     c2 = jnp.sum(centers ** 2, axis=-1)
@@ -148,6 +176,30 @@ def kmeans_fit_traced_k(key, points: jnp.ndarray, kk) -> tuple:
 
     x2 = jnp.sum(points ** 2, axis=-1, keepdims=True)
     inf = jnp.float32(jnp.inf)
+    mb = min(1024, n)
+
+    def step(carry, i):
+        centers, cum = carry
+        start = jax.lax.rem(i * mb, jnp.int32(n))
+        pts = jax.lax.dynamic_slice(points, (start, jnp.int32(0)),
+                                    (mb, points.shape[1]))
+        px2 = jax.lax.dynamic_slice(x2, (start, jnp.int32(0)), (mb, 1))
+        c2 = jnp.sum(centers ** 2, axis=-1)
+        d = px2 - 2.0 * pts @ centers.T + c2[None, :]
+        d = jnp.where(active[None, :], d, inf)
+        labels = jnp.argmin(d, axis=-1)
+        onehot = jax.nn.one_hot(labels, K_PAD, dtype=points.dtype)
+        counts = onehot.sum(axis=0)
+        sums = onehot.T @ pts
+        cum = cum + counts
+        # inactive/empty slots see counts = sums = 0 -> zero delta
+        centers = centers + ((sums - counts[:, None] * centers)
+                             / jnp.maximum(cum[:, None], 1.0))
+        return (centers, cum), None
+
+    (centers, _), _ = jax.lax.scan(
+        step, (centers, jnp.zeros((K_PAD,), points.dtype)),
+        jnp.arange(15, dtype=jnp.int32), unroll=5)
 
     def lloyd(centers, _):
         c2 = jnp.sum(centers ** 2, axis=-1)
@@ -161,7 +213,7 @@ def kmeans_fit_traced_k(key, points: jnp.ndarray, kk) -> tuple:
         new_centers = jnp.where(counts[:, None] > 0, new_centers, centers)
         return jnp.where(active[:, None], new_centers, centers), None
 
-    centers, _ = jax.lax.scan(lloyd, centers, None, length=15, unroll=5)
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=3, unroll=3)
     return centers, active
 
 

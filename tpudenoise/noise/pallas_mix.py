@@ -483,7 +483,15 @@ def _body_bloom(geo, p, bloom_ref, b_idx):
 
 def _make_branches(kinds, geo, p, carry_ref, centers_ref, bloom_ref,
                    b_idx, tile_h: int):
-    """One switch branch per Kind present in the plan (plan-static)."""
+    """One switch branch per Kind present in the plan (plan-static).
+
+    The switch is real per-grid-step control flow (selected-kind cost
+    only: original 0.16 vs poisson 0.56 ms/img at tile_h=8, batch 64,
+    600x1000 on v5e) — but the HEAVY bodies' scoped-VMEM frames scale
+    with the tile and spill beyond one sublane tile, taxing EVERY step:
+    at tile_h=32 the original floor was 0.72 ms/img and mixed var_all
+    draws cost 0.89 (noise) / OOM-at-32 (bilateral).  Hence the
+    tile_h=8 default on both kernels."""
     table = {
         Kind.ORIGINAL: lambda: _body_original(geo, p),
         Kind.GAUSSIAN: lambda: _body_gaussian(geo, p),
@@ -539,7 +547,7 @@ def fused_mix_noise(images: jnp.ndarray, branch: jnp.ndarray,
                     level: jnp.ndarray, seeds: jnp.ndarray,
                     vals: jnp.ndarray, centers: jnp.ndarray,
                     bloom: jnp.ndarray, kinds: tuple,
-                    tile_h: int = 32, interpret: bool = False
+                    tile_h: int = 8, interpret: bool = False
                     ) -> jnp.ndarray:
     """Per-image mixed noise in ONE HBM pass (interleaved (H, W*3) tiles).
 
@@ -651,7 +659,7 @@ def fused_mix_bilateral(images: jnp.ndarray, branch: jnp.ndarray,
                         vals: jnp.ndarray, centers: jnp.ndarray,
                         bloom: jnp.ndarray, kinds: tuple,
                         sigma_color: float = 20.0,
-                        sigma_space: float = 100.0, tile_h: int = 16,
+                        sigma_space: float = 100.0, tile_h: int = 8,
                         interpret: bool = False) -> jnp.ndarray:
     """Mixed noise + cv2-style bilateral (d=9) in ONE HBM pass (planar
     (3, H, W) tiles — the bilateral layout).  Equivalent to
