@@ -298,7 +298,10 @@ def main():
                                  bench_config1(images_u8, seeds))))
         images_f32 = jax.device_put(jnp.asarray(raw.astype(np.float32)))
         for noise in ('noise_mix_var_all_bilateral',
-                      'noise_mix_var_all_wavelet'):
+                      'noise_mix_var_all_wavelet',
+                      # the curvelet denoise path (random pre-noise mix +
+                      # FFT-frame reconstruction, ref fdct.py:232-341)
+                      'curvelet'):
             ips, backend = bench_config3(images_f32, noise)
             print(json.dumps(_result(f'{backend} {noise}', ips)))
         # same mix configs with the counter-hash sampler draws

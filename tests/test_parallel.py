@@ -183,3 +183,39 @@ def test_masked_noise_shard_map_matches_single_device(mesh):
         in_specs=(P('data'), P('data'), P('data')),
         out_specs=P('data'))(keys, jnp.asarray(imgs), jnp.asarray(hw)))
     np.testing.assert_array_equal(got, want)
+
+
+def test_tp_model_axis_shape_level():
+    """TP design note (PARITY.md §2.3): a ('data','model') mesh builds on
+    the existing machinery, conv params placed with output-channel
+    NamedShardings actually shard, and a jitted conv under those
+    shardings reproduces the single-device result."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh([4, 2], ['data', 'model'])
+    assert mesh.shape == {'data': 4, 'model': 2}
+
+    rng = np.random.RandomState(0)
+    kern = jnp.asarray(rng.randn(3, 3, 8, 16).astype(np.float32))  # HWIO
+    x = jnp.asarray(rng.randn(4, 16, 16, 8).astype(np.float32))    # NHWC
+
+    kern_sh = jax.device_put(
+        kern, NamedSharding(mesh, P(None, None, None, 'model')))
+    # each model-shard holds half the output channels
+    shard_shapes = {s.data.shape for s in kern_sh.addressable_shards}
+    assert shard_shapes == {(3, 3, 8, 8)}
+
+    x_sh = jax.device_put(x, NamedSharding(mesh, P('data')))
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), 'SAME',
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+    out = jax.jit(conv, out_shardings=NamedSharding(
+        mesh, P('data', None, None, 'model')))(x_sh, kern_sh)
+    # output sharded on the model axis over channels
+    out_shapes = {s.data.shape for s in out.addressable_shards}
+    assert out_shapes == {(1, 16, 16, 8)}
+    want = conv(x, kern)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want))

@@ -302,6 +302,19 @@ def _post_batched_for(plan: NoisePlan, unit_float: bool,
         if plan.post_denoise == Denoise.BILATERAL and pallas_bilateral:
             from tpudenoise.denoise.pallas_bilateral import bilateral_pallas
             return bilateral_pallas(out)
+        if plan.post_denoise == Denoise.CURVELET:
+            # the FFT frame holds nbangles+wedge temporaries at full
+            # resolution (29 x 600x1000 f32 x several live = ~4 GB per
+            # 64-batch array): lax.map over 4-image chunks keeps the
+            # batched path HBM-bounded at any batch size
+            from tpudenoise.denoise.curvelet import curvelet_denoise_u8
+            b = out.shape[0]
+            chunk = 4
+            if b <= chunk or b % chunk != 0:
+                return jax.vmap(curvelet_denoise_u8)(out)
+            folded = out.reshape(b // chunk, chunk, *out.shape[1:])
+            mapped = jax.lax.map(jax.vmap(curvelet_denoise_u8), folded)
+            return mapped.reshape(b, *out.shape[1:])
         return jax.vmap(lambda im: apply_post(plan.post_denoise, im,
                                               unit_float))(out)
     return post
