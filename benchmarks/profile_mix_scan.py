@@ -1,18 +1,19 @@
-"""Where does the scanned-switch mix program spend its time?
+"""Per-kind mix cost attribution: XLA scanned path vs fused Pallas kernel.
 
-The per-kind expectation from `profile_mix_kinds.py` (batched, vmapped
-numbers weighted by the var_all table) is far below the measured mix
-throughput, so either (a) the scan serialization makes individual
-generators slower at batch 1 than their vmapped batch-16 cost, or (b)
-there is a constant per-scan-step overhead (switch dispatch, dynamic
-slice in/out).  This script separates the two:
+Mixed plans now route through the fused Pallas mix kernel by default
+(noise/pallas_mix.py); the XLA scanned switch remains the stream/parity
+reference (use_pallas=False).  This script attributes both:
 
-  * `scan[kind]`  — a 2-entry same-kind plan (forces the scanned path,
-    collapses to ONE template: no switch fan-out) — per-image cost of
-    that generator at batch 1 inside the scan.
+  * `scan[kind]`  — a 2-entry same-kind plan through the XLA scanned
+    path (use_pallas=False): per-image cost of that generator at batch 1
+    inside the scan.  Brownian's scanned row OOM'd at batch 64 (XLA
+    copies the (64,600,1000,3) batch through a T(8,128) layout padding
+    3 -> 128 lanes = 19.6 GB); rows that fail at the full batch retry at
+    batch 16 and are marked `b16`.
+  * `fused[kind]` — the same 2-entry plan through the production fused
+    kernel.
   * `vmap[kind]`  — the single-spec vmapped path, same batch.
-  * `scan[original]` — the floor: pure scan+slice overhead.
-  * the real var_all plans with and without the bilateral post.
+  * the real var_all plans through both backends.
 
   python benchmarks/profile_mix_scan.py [--small] [--fast-rng]
 """
@@ -41,11 +42,15 @@ def main():
         rng.randint(0, 256, (b, h, w, 3)).astype(np.float32)))
     key = jax.random.PRNGKey(3)
 
-    def measure(plan):
-        fn = make_pipeline(plan, mode='TRAIN', fast_rng=fast)
-        best = time_chained_dispatches(fn, key, images, inner, reps=reps,
+    images16 = images[:16]
+
+    def measure(plan, use_pallas=None, ims=None):
+        ims = images if ims is None else ims
+        fn = make_pipeline(plan, mode='TRAIN', fast_rng=fast,
+                           use_pallas=use_pallas)
+        best = time_chained_dispatches(fn, key, ims, inner, reps=reps,
                                        readout_scale=1e-12)
-        return 1000.0 * best / (b * inner), fn.backend
+        return 1000.0 * best / (ims.shape[0] * inner), fn.backend
 
     print(f'geometry {h}x{w} batch {b} fast_rng={fast}', flush=True)
 
@@ -54,19 +59,35 @@ def main():
              'shader', 'poisson', 'gamma_var0.1', 'brownian_var0.09',
              'quant_var7', 'bloom']
     for ks in kinds:
+        spec = parse(ks, mode='TRAIN').specs[0]
+        scan_plan = NoisePlan(specs=(spec, spec), raw=f'2x:{ks}')
         try:
-            spec = parse(ks, mode='TRAIN').specs[0]
-            scan_plan = NoisePlan(specs=(spec, spec), raw=f'2x:{ks}')
-            ms_scan, _ = measure(scan_plan)
-            ms_vmap, _ = measure(parse(ks, mode='TRAIN'))
-            print(f'  {ks:18s} scan {ms_scan:7.3f} ms/img   '
-                  f'vmap {ms_vmap:7.3f} ms/img   '
-                  f'penalty {ms_scan - ms_vmap:+7.3f}', flush=True)
-        except Exception as e:  # synthetic 2-spec plans can trip XLA
-            print(f'  {ks:18s} FAILED: {str(e)[:90]}', flush=True)
+            ms_scan, _ = measure(scan_plan, use_pallas=False)
+            tag = ''
+        except Exception:
+            # batch-64 layout blowup (docstring): retry at batch 16
+            try:
+                ms_scan, _ = measure(scan_plan, use_pallas=False,
+                                     ims=images16)
+                tag = ' b16'
+            except Exception as e:
+                print(f'  {ks:18s} scan FAILED: {str(e)[:70]}', flush=True)
+                ms_scan, tag = float('nan'), ''
+        try:
+            ms_fused, _ = measure(scan_plan)
+        except Exception as e:
+            print(f'  {ks:18s} fused FAILED: {str(e)[:70]}', flush=True)
+            ms_fused = float('nan')
+        ms_vmap, _ = measure(parse(ks, mode='TRAIN'))
+        print(f'  {ks:18s} scan {ms_scan:7.3f}{tag:4s} '
+              f'fused {ms_fused:7.3f}   vmap {ms_vmap:7.3f} ms/img',
+              flush=True)
 
     for noise in ('noise_mix_var_all', 'noise_mix_var_all_bilateral'):
-        ms, backend = measure(parse(noise, mode='TRAIN'))
+        plan = parse(noise, mode='TRAIN')
+        ms, backend = measure(plan)
+        print(f'  {noise:34s} {ms:7.3f} ms/img ({backend})', flush=True)
+        ms, backend = measure(plan, use_pallas=False)
         print(f'  {noise:34s} {ms:7.3f} ms/img ({backend})', flush=True)
 
     # ---- poisson stage attribution (the dominant mix kind) ----

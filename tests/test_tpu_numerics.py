@@ -85,3 +85,49 @@ def test_crop_and_resize_tpu_precision():
     assert err < 5e-5, (
         f"crop_and_resize rel err {err:.2e}: HIGHEST precision regressed "
         "(bf16 operand rounding would give ~4e-3)")
+
+
+def test_fused_mix_kernel_compiled_stats():
+    """The fused Pallas mix kernel COMPILED (not interpret-mode, which is
+    what the CPU suite exercises): per-kind output domains and first
+    moments on the real accelerator.  Guards Mosaic lowering regressions
+    (u8 load hops, lane rolls, SMEM carry) that interpret mode cannot
+    see."""
+    from tpudenoise.noise.pallas_mix import fused_mix_noise
+    from tpudenoise.noise.spec import Kind
+
+    B, H, W = 2, 64, 128
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(np.full((B, H, W, 3), 128, np.uint8))
+    seeds = jnp.asarray(rng.randint(0, 2**31, (B, 2)), jnp.int32)
+    vals = jnp.full((B,), 256.0, jnp.float32)
+    centers = jnp.zeros((B, 60), jnp.float32)
+    bloom = jnp.zeros((B, 48, 8), jnp.float32)
+    kinds = (int(Kind.ORIGINAL), int(Kind.GAUSSIAN), int(Kind.SAP),
+             int(Kind.POISSON))
+
+    def run(pos, level):
+        br = jnp.full((B,), pos, jnp.int32)
+        lv = jnp.full((B,), level, jnp.float32)
+        return np.asarray(fused_mix_noise(
+            imgs, br, lv, seeds, vals, centers, bloom, kinds))
+
+    out = run(0, 0.0)                       # original: exact pass-through
+    np.testing.assert_array_equal(out, np.full_like(out, 128.0))
+
+    out = run(1, 0.1)                       # gaussian: [0,1] quirk domain
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    assert abs(out.mean() - 128.0 / 255.0) < 0.02
+    assert abs(out.std() - np.sqrt(0.1)) < 0.05
+
+    out = run(2, 0.4)                       # sap: ~20% salt / ~20% pepper
+    f_salt = (out == 255.0).mean()
+    f_pepper = (out == 0.0).mean()
+    assert abs(f_salt - 0.2) < 0.02 and abs(f_pepper - 0.2) < 0.02
+
+    out = run(3, 0.0)                       # poisson at lam ~128.5
+    lam = 128.0 / 255.0 * 256.0
+    ref_mean = np.trunc(255.0 * np.clip(
+        np.random.RandomState(0).poisson(lam, 200000) / 256.0, 0, 1))
+    assert abs(out.mean() - ref_mean.mean()) < 1.5
+    assert abs(out.std() - ref_mean.std()) / ref_mean.std() < 0.1
