@@ -85,10 +85,11 @@ def bench_config1(images_u8, seeds):
     return _time_scanned(step, images_u8)
 
 
-def bench_config3(images_f32, noise, inner=INNER, reps=3, fast_rng=False):
+def bench_config3(images_f32, noise, inner=INNER, reps=3, fast_rng=False,
+                  use_pallas=None):
     """Mixed-noise batch + denoise post-pass through the production
-    make_pipeline routing (bilateral rides the batched Pallas stencil;
-    wavelet runs the MXU band-matrix DWT).
+    make_pipeline routing (the fused Pallas mix kernel on TPU; bilateral
+    rides the fused tail, wavelet the MXU band-matrix DWT).
 
     `inner` pipeline applications scanned inside one jit (the headline
     methodology) over a 64-image batch, best-of-reps, with a single
@@ -96,9 +97,15 @@ def bench_config3(images_f32, noise, inner=INNER, reps=3, fast_rng=False):
     each cost ~2-31 ms through the tunnel and used to understate this
     config by ~2x.  Smaller batch than the headline: the mixed XLA
     program keeps several full-batch f32 temporaries live, so batch 128
-    overflows HBM."""
+    overflows HBM.  fast_rng rows force use_pallas=False: their purpose
+    is the XLA parity pipeline with counter-hash draws (the fused kernel
+    has hash RNG regardless, so the default routing would just repeat
+    the fused row)."""
     from tpudenoise.noise.pipeline import make_pipeline
-    fn = make_pipeline(noise, mode='TRAIN', fast_rng=fast_rng)
+    if fast_rng and use_pallas is None:
+        use_pallas = False
+    fn = make_pipeline(noise, mode='TRAIN', fast_rng=fast_rng,
+                       use_pallas=use_pallas)
     key = jax.random.PRNGKey(3)
     images = images_f32[:64]
     b = images.shape[0]
@@ -304,8 +311,9 @@ def main():
                       'curvelet'):
             ips, backend = bench_config3(images_f32, noise)
             print(json.dumps(_result(f'{backend} {noise}', ips)))
-        # same mix configs with the counter-hash sampler draws
-        # (--fast-rng production knob; labeled separately)
+        # same mix configs through the XLA parity pipeline with the
+        # counter-hash sampler draws (--fast-rng knob; the fused kernel
+        # above hash-draws regardless, so these rows track the fallback)
         for noise in ('noise_mix_var_all_bilateral',
                       'noise_mix_var_all_wavelet'):
             ips, backend = bench_config3(images_f32, noise, fast_rng=True)

@@ -228,3 +228,21 @@ def test_grammar_full_cross_product():
                 assert out.max() <= 1.0, noise
             else:
                 assert out.min() >= 0.0 and out.max() <= 255.0, noise
+
+
+def test_curvelet_post_chunked_matches_vmap():
+    """The HBM-bounded lax.map chunking of the batched curvelet post must
+    be a pure batching detail: identical output to the plain vmap."""
+    from tpudenoise.denoise.curvelet import curvelet_denoise_u8
+    from tpudenoise.noise.pipeline import _post_batched_for
+    from tpudenoise.noise.spec import parse
+
+    plan = parse('curvelet', mode='TRAIN')
+    post = _post_batched_for(plan, unit_float=False)
+    rng = np.random.RandomState(0)
+    import jax.numpy as jnp
+    out = jnp.asarray(rng.randint(0, 256, (8, 24, 40, 3))
+                      .astype(np.float32))
+    got = np.asarray(post(out))          # 8 % 4 == 0 -> chunked path
+    want = np.asarray(jax.vmap(curvelet_denoise_u8)(out))
+    np.testing.assert_array_equal(got, want)
