@@ -305,10 +305,7 @@ def main():
                                  bench_config1(images_u8, seeds))))
         images_f32 = jax.device_put(jnp.asarray(raw.astype(np.float32)))
         for noise in ('noise_mix_var_all_bilateral',
-                      'noise_mix_var_all_wavelet',
-                      # the curvelet denoise path (random pre-noise mix +
-                      # FFT-frame reconstruction, ref fdct.py:232-341)
-                      'curvelet'):
+                      'noise_mix_var_all_wavelet'):
             ips, backend = bench_config3(images_f32, noise)
             print(json.dumps(_result(f'{backend} {noise}', ips)))
         # same mix configs through the XLA parity pipeline with the
@@ -334,6 +331,17 @@ def main():
                        "600x1000 batch-8"),
             "value": round(fps_e2e, 2), "unit": "images/sec",
             "vs_baseline": None}))
+        # curvelet LAST and guarded: the FFT-frame program has crashed
+        # the TPU worker process on this runtime (kernel fault, see
+        # README); a crash here must not poison the rows above
+        try:
+            ips, backend = bench_config3(images_f32, 'curvelet')
+            print(json.dumps(_result(f'{backend} curvelet', ips)))
+        except Exception as e:
+            print(json.dumps({
+                "metric": "curvelet (noise mix + FFT-frame denoise)",
+                "value": None, "unit": "images/sec",
+                "vs_baseline": None, "error": str(e).splitlines()[0][:200]}))
 
 
 if __name__ == '__main__':
