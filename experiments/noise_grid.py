@@ -209,7 +209,13 @@ def main(argv=None):
         '  detection math and noise streams are frozen; regenerate and',
         '  note the cause whenever either changes (e.g. the round-3',
         '  roi_align Precision.HIGHEST fix changed training, so the',
-        '  round-4 regeneration trained a different model).',
+        '  round-4 regeneration trained a different model).  The',
+        '  round-5 regeneration has three causes: the NMS presorted',
+        '  fast path + lower-triangle tile skip (changed proposal',
+        '  selection, hence the retrained model and every row), the',
+        '  fused Pallas mix kernel becoming the TPU default for mix',
+        '  plans (coordinate-hash pixel streams, mix rows), and the',
+        '  MiniBatchKMeans-semantics quant palette fit (quant rows).',
         '',
         '| noise config | AP@.5 | AP@[.5,.95] |',
         '|---|---|---|',
