@@ -85,11 +85,15 @@ def bench_config1(images_u8, seeds):
     return _time_scanned(step, images_u8)
 
 
-def bench_config3(images_f32, noise, inner=INNER, reps=3, fast_rng=False,
+def bench_config3(images, noise, inner=INNER, reps=3, fast_rng=False,
                   use_pallas=None):
     """Mixed-noise batch + denoise post-pass through the production
     make_pipeline routing (the fused Pallas mix kernel on TPU; bilateral
-    rides the fused tail, wavelet the MXU band-matrix DWT).
+    rides the fused tail, wavelet the MXU band-matrix DWT).  Fused rows
+    feed uint8 — the dtype the loader actually ships (same contract as
+    the headline config) and bit-identical output to u8-valued f32 input
+    (tests/test_pallas_mix.py::test_fused_pipeline_u8_input_bitequal_f32)
+    without the f32->u8 planarize tax; the XLA parity rows keep f32.
 
     `inner` pipeline applications scanned inside one jit (the headline
     methodology) over a 64-image batch, best-of-reps, with a single
@@ -107,7 +111,7 @@ def bench_config3(images_f32, noise, inner=INNER, reps=3, fast_rng=False,
     fn = make_pipeline(noise, mode='TRAIN', fast_rng=fast_rng,
                        use_pallas=use_pallas)
     key = jax.random.PRNGKey(3)
-    images = images_f32[:64]
+    images = images[:64]
     b = images.shape[0]
 
     if fast_rng:
@@ -306,7 +310,7 @@ def main():
         images_f32 = jax.device_put(jnp.asarray(raw.astype(np.float32)))
         for noise in ('noise_mix_var_all_bilateral',
                       'noise_mix_var_all_wavelet'):
-            ips, backend = bench_config3(images_f32, noise)
+            ips, backend = bench_config3(images_u8, noise)
             print(json.dumps(_result(f'{backend} {noise}', ips)))
         # same mix configs through the XLA parity pipeline with the
         # counter-hash sampler draws (--fast-rng knob; the fused kernel

@@ -313,6 +313,44 @@ def test_prologue_quant_centers_match_quantize_colors(imgs):
     np.testing.assert_array_equal(got, np.asarray(want))
 
 
+def test_prologue_gathered_fit_matches_full(imgs):
+    """The budgeted gather-fit (only quant-drawn images run the k-means
+    fit) returns bit-identical prologue outputs to the full-batch fit —
+    same (ka, image, kk) per image — and the lax.cond overflow fallback
+    (budget below the drawn count) is exact too."""
+    plan = parse('noise_mix_var_all', mode='TRAIN')
+    kinds, eb, el = plan_tables(plan.specs)
+    batch = 32
+    keys = jax.random.split(jax.random.PRNGKey(7), batch)
+    rng = np.random.RandomState(11)
+    big = jnp.asarray(rng.randint(0, 256, (batch, H, W, 3)), jnp.float32)
+    full = mix_prologue(keys, big, kinds, eb, el, _fit_budget=batch)
+    pos_quant = kinds.index(int(Kind.QUANT))
+    n_quant = int(np.sum(np.asarray(full[0]) == pos_quant))
+    assert n_quant >= 1  # the draw must exercise the gather
+    gathered = mix_prologue(keys, big, kinds, eb, el, _fit_budget=8)
+    overflow = mix_prologue(keys, big, kinds, eb, el, _fit_budget=1)
+    for a, b in zip(full, gathered):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(full, overflow):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_pipeline_u8_input_bitequal_f32(imgs):
+    """uint8 input produces bit-identical output to the same values as
+    float32: the kernels load u8 either way (the f32 path is cast
+    exactly), so callers holding the loader's u8 tensors skip the f32
+    planarize tax for free."""
+    from tpudenoise.noise.pipeline import _fused_mix_pipeline
+
+    plan = parse('noise_mix_var_medium_bilateral', mode='TRAIN')
+    fn = _fused_mix_pipeline(plan, interpret=True)
+    key = jax.random.PRNGKey(3)
+    out_u8 = np.asarray(fn(key, imgs[:2]))
+    out_f32 = np.asarray(fn(key, imgs[:2].astype(jnp.float32)))
+    np.testing.assert_array_equal(out_u8, out_f32)
+
+
 def test_fused_bilateral_equals_noise_then_bilateral(imgs):
     """Planar fused tail == bilateral(interleaved fused noise): the noise
     streams are identical by construction (element-raster counter), the

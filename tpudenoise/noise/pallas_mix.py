@@ -717,7 +717,7 @@ def plan_tables(specs):
     return kinds, eb, el
 
 
-def mix_prologue(keys, images, kinds, eb, el):
+def mix_prologue(keys, images, kinds, eb, el, _fit_budget=None):
     """Per-image entry draw + image-dependent scalars for the fused
     kernels.  The draw chain is bit-identical to the XLA scan body
     (pipeline._apply_specs_batched: split -> randint over E entries), so
@@ -777,7 +777,7 @@ def mix_prologue(keys, images, kinds, eb, el):
             (the same static condition as `kmeans`), traced-k fit.  The
             LAB conversion runs on the SUBSAMPLE, not the full image
             (pixelwise, so lab.reshape(-1,3)[idx] == lab(flat[idx]))."""
-            flat = img.reshape(-1, 3)
+            flat = img.reshape(-1, 3).astype(jnp.float32)
             if n > 8192:
                 k1, sub = jax.random.split(ka)
                 fit_idx = jax.random.randint(sub, (8192,), 0, n)
@@ -792,9 +792,41 @@ def mix_prologue(keys, images, kinds, eb, el):
                                    jnp.float32(1e9))
             return jnp.concatenate([lab_masked, bgr], axis=1).reshape(-1)
 
-        kk = jnp.where(pos == pos_quant, level.astype(jnp.int32), 1)
-        fitted = jax.vmap(quant_fit)(kas, images, kk)
-        centers = jnp.where((pos == pos_quant)[:, None], fitted, 0.0)
+        is_q = pos == pos_quant
+        kk = jnp.where(is_q, level.astype(jnp.int32), 1)
+        bsz = int(pos.shape[0])
+        # Only ~nq/e of the batch draws quant, but the vmapped fit used
+        # to run for EVERY image and dominated the prologue (0.20 of
+        # 0.25 ms/img at batch 64, benchmarks/profile_mix_kinds.py
+        # --prologue).  Gather the quant-drawn images into a static
+        # budget sized at +6 sigma of the binomial draw count and fit
+        # only those; the (vanishingly rare) overflow falls back to the
+        # full-batch fit via lax.cond, so every image's palette is
+        # bit-identical to the ungathered version either way.
+        nq = int(np.sum(eb == pos_quant))
+        mean = bsz * nq / e
+        budget = int(np.ceil(mean + 6.0 * np.sqrt(
+            max(mean * (1.0 - nq / e), 1e-9)))) + 1
+        budget = min(bsz, max(budget, 1))
+        if _fit_budget is not None:  # test hook (tests/test_pallas_mix)
+            budget = min(bsz, _fit_budget)
+        if budget >= bsz:
+            fitted = jax.vmap(quant_fit)(kas, images, kk)
+        else:
+            qidx = jnp.argsort(jnp.where(is_q, 0, 1), stable=True)[:budget]
+
+            def gathered_fit(_):
+                sub = jax.vmap(quant_fit)(
+                    kas[qidx], images[qidx], kk[qidx])
+                return jnp.zeros((bsz, K_PAD * 6),
+                                 jnp.float32).at[qidx].set(sub)
+
+            def full_fit(_):
+                return jax.vmap(quant_fit)(kas, images, kk)
+
+            fitted = jax.lax.cond(jnp.sum(is_q) <= budget,
+                                  gathered_fit, full_fit, 0)
+        centers = jnp.where(is_q[:, None], fitted, 0.0)
     else:
         centers = jnp.zeros((pos.shape[0], K_PAD * 6), jnp.float32)
 
