@@ -192,16 +192,70 @@ def _synthesis_matrix(m: int, n: int) -> np.ndarray:
     return mat
 
 
+# Block-banded application: the analysis/synthesis matrices have
+# bandwidth ~_L along 2j, so a dense n-wide contraction wastes ~n/(2
+# _JB + _L) of its FLOPs.  Outputs are computed in _JB-wide blocks, each
+# contracting only its (2*_JB + _L)-row input window — at 600x1000 this
+# cuts the level-1 DWT matmul FLOPs ~2.3x (rows) / ~3.8x (cols) while
+# keeping MXU-friendly (128, ~266) x (~266, N) shapes.  Every nonzero of
+# an output block's columns lies inside its window (the half-sample
+# reflection only folds edge taps back toward the same edge), so each
+# block computes exactly the dense result's terms.
+_JB = 128
+
+
+def _analysis_apply(x, n: int, last_axis: bool):
+    """Banded form of einsum(A(n, 2m), x) contracting x's row (last_axis
+    False) or lane (True) axis; returns the (..., 2m, w) / (..., h, 2m)
+    stacked lo|hi output of the dense einsum."""
+    m = (n + _L - 1) // 2
+    A = _analysis_matrix(n)
+    sub = ('wn,...mw->...mn' if last_axis else 'hm,...hw->...mw')
+    if m <= 2 * _JB:
+        return jnp.einsum(sub, jnp.asarray(A), x, precision=_PREC)
+    parts = []
+    for off in (0, m):                              # lo columns, then hi
+        for j0 in range(0, m, _JB):
+            j1 = min(j0 + _JB, m)
+            i0 = max(0, 2 * j0 - (_L - 2))
+            i1 = min(n, 2 * (j1 - 1) + 2)
+            blk = jnp.asarray(A[i0:i1, off + j0:off + j1])
+            xs = x[..., i0:i1] if last_axis else x[..., i0:i1, :]
+            parts.append(jnp.einsum(sub, blk, xs, precision=_PREC))
+    return jnp.concatenate(parts, axis=-1 if last_axis else -2)
+
+
+def _synthesis_apply(lohi, m: int, n: int, last_axis: bool):
+    """Banded form of einsum(S(2m, n), lohi) contracting lohi's lane
+    (last_axis True) or row (False) axis of size 2m; output size n."""
+    S = _synthesis_matrix(m, n)
+    sub = ('mw,...nm->...nw' if last_axis else 'nh,...nw->...hw')
+    if n <= 2 * _JB:
+        return jnp.einsum(sub, jnp.asarray(S), lohi, precision=_PREC)
+    parts = []
+    for t0 in range(0, n, _JB):
+        t1 = min(t0 + _JB, n)
+        i0 = max(0, (t0 - 1) // 2)
+        i1 = min(m, (t1 + _L - 2) // 2 + 1)
+        acc = None
+        for off in (0, m):                          # lo rows, then hi
+            blk = jnp.asarray(S[off + i0:off + i1, t0:t1])
+            xs = (lohi[..., off + i0:off + i1] if last_axis
+                  else lohi[..., off + i0:off + i1, :])
+            y = jnp.einsum(sub, blk, xs, precision=_PREC)
+            acc = y if acc is None else acc + y
+        parts.append(acc)
+    return jnp.concatenate(parts, axis=-1 if last_axis else -2)
+
+
 def dwt2(x: jnp.ndarray):
     """Single-level 2-D DWT over the LAST TWO axes: (..., H, W) ->
-    (aa, (ad, da, dd)); leading axes batch.  Two MXU matmuls."""
+    (aa, (ad, da, dd)); leading axes batch.  Block-banded MXU matmuls."""
     h, w = x.shape[-2], x.shape[-1]
     mh = (h + _L - 1) // 2
     mw = (w + _L - 1) // 2
-    ar = jnp.asarray(_analysis_matrix(h))          # (H, 2mh)
-    ac = jnp.asarray(_analysis_matrix(w))          # (W, 2mw)
-    rows = jnp.einsum('hm,...hw->...mw', ar, x, precision=_PREC)
-    both = jnp.einsum('wn,...mw->...mn', ac, rows, precision=_PREC)
+    rows = _analysis_apply(x, h, last_axis=False)   # (..., 2mh, w)
+    both = _analysis_apply(rows, w, last_axis=True)  # (..., 2mh, 2mw)
     aa = both[..., :mh, :mw]
     ad = both[..., :mh, mw:]
     da = both[..., mh:, :mw]
@@ -210,17 +264,15 @@ def dwt2(x: jnp.ndarray):
 
 
 def idwt2(aa, details, shape):
-    """Inverse of dwt2 back to `shape`; two MXU matmuls."""
+    """Inverse of dwt2 back to `shape`; block-banded MXU matmuls."""
     ad, da, dd = details
     h, w = shape[-2], shape[-1]
     mh, mw = aa.shape[-2], aa.shape[-1]
-    sc = jnp.asarray(_synthesis_matrix(mw, w))     # (2mw, W)
-    sr = jnp.asarray(_synthesis_matrix(mh, h))     # (2mh, H)
     top = jnp.concatenate([aa, ad], axis=-1)       # (..., mh, 2mw)
     bot = jnp.concatenate([da, dd], axis=-1)
     lohi = jnp.concatenate([top, bot], axis=-2)    # (..., 2mh, 2mw)
-    cols = jnp.einsum('mw,...nm->...nw', sc, lohi, precision=_PREC)
-    return jnp.einsum('nh,...nw->...hw', sr, cols, precision=_PREC)
+    cols = _synthesis_apply(lohi, mw, w, last_axis=True)
+    return _synthesis_apply(cols, mh, h, last_axis=False)
 
 
 def wavedec2(x: jnp.ndarray, levels: int):
